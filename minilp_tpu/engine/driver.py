@@ -1,0 +1,127 @@
+"""Host-side driver: canonicalize → device solve → Solution wrapper.
+
+This is the seam between the Python API layer (C1) and the device-resident
+engine (C2–C4).  The only host↔device traffic is the canonical arrays going down
+once and the final state pytree coming back (SURVEY.md §4.1 ◆ marks) — the solve
+itself is a single compiled computation.  Compilation is cached by padded shape
+bucket + options (shape bucketing per SURVEY.md §8 "Hard parts" #5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import api
+from ..canonical import CanonicalLP, canonicalize
+from ..options import SolverOptions
+from ..status import Status, VarStat
+from . import incremental
+from .primal import solve_canonical
+from .state import SimplexState
+
+_solve_jit = jax.jit(solve_canonical, static_argnames=("opts",))
+
+
+def _np_dtype(opts: SolverOptions):
+    return np.float64 if opts.dtype == "float64" else np.float32
+
+
+def _raise_for_status(status: int) -> None:
+    if status == Status.OPTIMAL:
+        return
+    if status == Status.INFEASIBLE:
+        raise api.Infeasible()
+    if status == Status.UNBOUNDED:
+        raise api.Unbounded()
+    raise api.SolverFailure(f"solver terminated with status {Status(status).name}")
+
+
+class EngineHandle:
+    """Owns the canonical form + warm-started device state for one Problem.
+
+    The reference's `Solution` owns its `Solver` (`src/lib.rs` [API]); here the
+    `Solution` facade owns this handle, which carries everything needed for the
+    incremental re-solve API: the (host) canonical arrays, the (device) state
+    pytree, and the stack of original bounds for `unfix_var`.
+    """
+
+    def __init__(
+        self,
+        can: CanonicalLP,
+        state: SimplexState,
+        problem: "api.Problem",
+        opts: SolverOptions,
+        fixed_bounds: Dict[int, Tuple[float, float]] | None = None,
+    ):
+        self.can = can
+        self.state = state
+        self.problem = problem
+        self.opts = opts
+        #: var idx -> original (lo, hi) saved by fix_var (for unfix_var)
+        self.fixed_bounds: Dict[int, Tuple[float, float]] = dict(fixed_bounds or {})
+        self._x_cache: np.ndarray | None = None
+
+    # -- accessors ---------------------------------------------------------------
+    def _x_full(self) -> np.ndarray:
+        if self._x_cache is None:
+            vstat = np.asarray(self.state.vstat)
+            lo = self.can.lo
+            hi = self.can.hi
+            x = np.where(vstat == int(VarStat.AT_LOWER), lo, 0.0)
+            x = np.where(vstat == int(VarStat.AT_UPPER), hi, x)
+            x = np.where(vstat == int(VarStat.FIXED), lo, x)
+            x[np.asarray(self.state.basis)] = np.asarray(self.state.xB)
+            self._x_cache = x
+        return self._x_cache
+
+    def user_objective(self) -> float:
+        return float(self.can.obj_sign * float(self.state.obj))
+
+    def var_value(self, idx: int) -> float:
+        if not (0 <= idx < self.can.nv):
+            raise IndexError(f"variable index {idx} out of range")
+        return float(self._x_full()[idx])
+
+    def iterations(self) -> int:
+        return int(self.state.niter)
+
+    # -- incremental API (SURVEY.md §4.2/§4.3 call stacks) -----------------------
+    def add_constraint(self, solution, terms, op, rhs) -> "api.Solution":
+        return incremental.add_constraint(self, terms, op, rhs)
+
+    def fix_var(self, solution, idx: int, val: float) -> "api.Solution":
+        return incremental.fix_var(self, idx, val)
+
+    def unfix_var(self, solution, idx: int) -> Tuple[bool, "api.Solution"]:
+        return incremental.unfix_var(self, idx)
+
+    def add_gomory_cut(self, solution, idx: int) -> "api.Solution":
+        return incremental.add_gomory_cut(self, idx)
+
+
+def solve_problem(problem: "api.Problem") -> "api.Solution":
+    """Cold solve: `Problem::solve` equivalent (SURVEY.md §4.1)."""
+    opts = problem.options
+    can = canonicalize(
+        problem,
+        extra_row_capacity=opts.row_capacity_slack,
+        dtype=_np_dtype(opts),
+    )
+    state = _solve_jit(
+        jnp.asarray(can.A),
+        jnp.asarray(can.b),
+        jnp.asarray(can.c),
+        jnp.asarray(can.lo),
+        jnp.asarray(can.hi),
+        jnp.asarray(can.vstat0),
+        jnp.asarray(can.basis0),
+        opts=opts,
+    )
+    status = int(state.status)
+    _raise_for_status(status)
+    handle = EngineHandle(can, state, problem, opts)
+    return api.Solution(handle, problem)

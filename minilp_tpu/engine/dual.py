@@ -1,0 +1,182 @@
+"""Dual simplex: warm-restart reoptimization after problem edits.
+
+Reference analog: `Solver::restore_feasibility` (`src/solver.rs` [CODE]; SURVEY.md
+§4.2): after `Solution::add_constraint` / `fix_var` / `add_gomory_cut`, the basis
+is dual feasible but primal infeasible; the dual simplex pivots the violated
+basic variables out until primal feasibility is restored, at which point the
+state is optimal again.
+
+Per iteration (all dense, fixed-shape):
+  1. leaving row r: the basic variable with the largest bound violation;
+  2. pivot row α = Binv[r]·A (BTRAN is a row read of the explicit inverse);
+  3. dual ratio test over non-basic columns: θ_j = |d_j|/|α̃_j| among columns
+     whose movement shrinks the violation (α̃ = e·α with e = ±1 the needed
+     direction of x_{B_r}); the minimizer keeps every reduced cost on its
+     feasible side;
+  4. FTRAN of the entering column, PFI inverse update, incremental d/x updates.
+
+No eligible entering column means the dual is unbounded ⇒ the primal is
+INFEASIBLE (exactly how the reference reports an infeasible cut/fix [CODE]).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..options import SolverOptions
+from ..status import Status, VarStat
+from .basis import ftran, pfi_update, refactorize
+from .primal import _entering_value
+from .state import SimplexState
+
+
+def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
+    """One dual simplex iteration; returns SimplexState -> SimplexState."""
+
+    def step(state: SimplexState) -> SimplexState:
+        basis, vstat, xB, d, Binv, obj, niter, status, noimprove, best = state
+        loB = jnp.take(lo, basis)
+        hiB = jnp.take(hi, basis)
+        bland = noimprove >= opts.bland_after
+
+        # -- leaving row: largest bound violation --------------------------------
+        viol_lo = jnp.maximum(loB - xB, 0.0)
+        viol_hi = jnp.maximum(xB - hiB, 0.0)
+        viol_lo = jnp.where(jnp.isfinite(viol_lo), viol_lo, 0.0)
+        viol_hi = jnp.where(jnp.isfinite(viol_hi), viol_hi, 0.0)
+        viol = viol_lo + viol_hi
+        r = jnp.argmax(viol).astype(jnp.int32)
+        max_viol = viol[r]
+        # e = +1: x_{B_r} must increase to its lower bound; e = -1: decrease.
+        e = jnp.where(viol_lo[r] > 0, 1.0, -1.0).astype(xB.dtype)
+        target = jnp.where(e > 0, loB[r], hiB[r])
+
+        def feasible_case(st: SimplexState) -> SimplexState:
+            return st._replace(status=jnp.int32(Status.OPTIMAL))
+
+        def do_iteration(st: SimplexState) -> SimplexState:
+            # -- pivot row (BTRAN row read × A) ---------------------------------
+            alpha = Binv[r] @ A
+            at = e * alpha
+            nonbasic_lo = vstat == VarStat.AT_LOWER
+            nonbasic_hi = vstat == VarStat.AT_UPPER
+            free = vstat == VarStat.FREE
+            elig = (
+                (nonbasic_lo & (at < -opts.pivot_tol))
+                | (nonbasic_hi & (at > opts.pivot_tol))
+                | (free & (jnp.abs(at) > opts.pivot_tol))
+            )
+            theta = jnp.where(elig, jnp.abs(d) / jnp.abs(alpha), jnp.inf)
+
+            def no_entering(s2: SimplexState) -> SimplexState:
+                # Dual unbounded ⇒ primal infeasible.
+                return s2._replace(status=jnp.int32(Status.INFEASIBLE))
+
+            def pivot(s2: SimplexState) -> SimplexState:
+                theta_min = jnp.min(theta)
+                tie = theta <= theta_min * (1.0 + opts.ratio_tie_rel) + opts.ratio_tie_abs
+                tie = tie & elig
+                neg_inf = jnp.array(-jnp.inf, dtype=xB.dtype)
+                q_stab = jnp.argmax(jnp.where(tie, jnp.abs(alpha), neg_inf))
+                n = d.shape[0]
+                idx = jnp.arange(n, dtype=jnp.int32)
+                q_bland = jnp.argmin(jnp.where(tie, idx, n))
+                q = jnp.where(bland, q_bland, q_stab).astype(jnp.int32)
+
+                # primal step of the entering variable
+                dq_step = (xB[r] - target) / alpha[q]
+                w = ftran(Binv, A[:, q])
+                enter_val = _entering_value(vstat[q], lo[q], hi[q]) + dq_step
+                xB2 = (xB - dq_step * w).at[r].set(enter_val)
+
+                lv = basis[r]
+                lstat = jnp.where(
+                    loB[r] == hiB[r],
+                    jnp.int8(VarStat.FIXED),
+                    jnp.where(e > 0, jnp.int8(VarStat.AT_LOWER), jnp.int8(VarStat.AT_UPPER)),
+                )
+                vstat2 = vstat.at[lv].set(lstat).at[q].set(jnp.int8(VarStat.BASIC))
+                basis2 = basis.at[r].set(q)
+                Binv2 = pfi_update(Binv, w, r)
+
+                delta_dual = d[q] / alpha[q]
+                d2 = d - delta_dual * alpha
+                d2 = d2.at[q].set(0.0).at[lv].set(-delta_dual)
+                d2 = jnp.where(vstat2 == VarStat.BASIC, 0.0, d2)
+                obj2 = obj + d[q] * dq_step
+                return s2._replace(
+                    basis=basis2, vstat=vstat2, xB=xB2, d=d2, Binv=Binv2, obj=obj2
+                )
+
+            s2 = lax.cond(jnp.any(elig), pivot, no_entering, st)
+
+            # -- progress / periodic refactorization ----------------------------
+            eps = 1e-10 * (1.0 + jnp.where(jnp.isfinite(best), jnp.abs(best), 0.0))
+            improved = max_viol < best - eps
+            noimp2 = jnp.where(improved, 0, noimprove + 1).astype(jnp.int32)
+            best2 = jnp.minimum(best, max_viol)
+            niter2 = niter + 1
+            do_refac = (niter2 % opts.refactor_period == 0) & (
+                s2.status == Status.RUNNING
+            )
+
+            def refac(s3: SimplexState) -> SimplexState:
+                Binv3, xB3, d3, obj3 = refactorize(
+                    A, b, c, lo, hi, s3.basis, s3.vstat,
+                    newton_iters=opts.newton_refine_iters,
+                )
+                return s3._replace(Binv=Binv3, xB=xB3, d=d3, obj=obj3)
+
+            s2 = lax.cond(do_refac, refac, lambda s3: s3, s2)
+            return s2._replace(niter=niter2, noimprove=noimp2, best=best2)
+
+        return lax.cond(max_viol <= opts.feas_tol, feasible_case, do_iteration, state)
+
+    return step
+
+
+def run_dual(A, b, c, lo, hi, opts: SolverOptions, state: SimplexState, max_iter: int):
+    """Dual simplex until primal feasible (OPTIMAL), INFEASIBLE, or MAX_ITER."""
+    step = make_dual_step(A, b, c, lo, hi, opts)
+
+    def cond(st: SimplexState):
+        return (st.status == Status.RUNNING) & (st.niter < max_iter)
+
+    state = lax.while_loop(cond, step, state)
+    return state._replace(
+        status=jnp.where(
+            state.status == Status.RUNNING, jnp.int32(Status.MAX_ITER), state.status
+        )
+    )
+
+
+def resolve_dual(
+    A, b, c, lo, hi, basis, vstat, opts: SolverOptions
+) -> SimplexState:
+    """Warm restart: exact refactorization from (basis, vstat), then dual simplex.
+
+    The entry point for `add_constraint` / `fix_var` / `add_gomory_cut`
+    (SURVEY.md §4.2): those edits keep the basis dual feasible (slack of a new
+    row enters basic with zero cost; bound changes don't touch reduced costs),
+    so the dual simplex restores optimality in a few pivots.
+    """
+    M, N = A.shape
+    dtype = A.dtype
+    max_iter = opts.effective_max_iter(M, N)
+    Binv, xB, d, obj = refactorize(
+        A, b, c, lo, hi, basis, vstat, newton_iters=opts.newton_refine_iters
+    )
+    state = SimplexState(
+        basis=basis.astype(jnp.int32),
+        vstat=vstat.astype(jnp.int8),
+        xB=xB,
+        d=d,
+        Binv=Binv,
+        obj=obj,
+        niter=jnp.int32(0),
+        status=jnp.int32(Status.RUNNING),
+        noimprove=jnp.int32(0),
+        best=jnp.array(jnp.inf, dtype=dtype),
+    )
+    return run_dual(A, b, c, lo, hi, opts, state, max_iter)

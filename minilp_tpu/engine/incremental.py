@@ -1,0 +1,289 @@
+"""Incremental re-solve API: add_constraint / fix_var / unfix_var / add_gomory_cut.
+
+Reference analogs: `Solver::add_constraint`, `fix_var`, `unfix_var`,
+`add_gomory_cut` (`src/solver.rs` [CODE][API]; SURVEY.md §4.2/§4.3 call stacks).
+
+TPU-first design (SURVEY.md §8 Phase 3): the canonical form pre-allocates inert
+padding rows whose fixed slacks are already basic, so *adding a constraint is a
+masked in-place write* — fill the row's coefficients, set the slack bounds for
+the op, set b, and the shapes (and hence the compiled resolvers) are unchanged.
+Capacity exhaustion triggers grow-by-recompile: the canonical form is re-padded
+with more rows and the (basis, vstat) warm state carries over index-for-index
+(slack columns keep the layout `nv + row`).
+
+Every edit below keeps the basis *dual feasible*:
+  * a new row's slack enters the basis with zero cost, leaving all existing
+    reduced costs unchanged (block-triangular basis extension);
+  * bound edits (`fix_var`) don't touch reduced costs at all;
+so re-optimization is a warm `resolve_dual` (refactorize + dual simplex).  The
+exception is `unfix_var`: re-widening the bounds can leave the variable's
+reduced cost on the wrong side, so it re-optimizes with the primal engine
+(phase 1 is a no-op when the warm basis is still feasible).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import api
+from ..canonical import CanonicalLP, canonicalize, slack_bounds
+from ..status import Status, VarStat
+from . import driver as _driver
+from .dual import resolve_dual
+from .primal import solve_canonical
+
+_resolve_dual_jit = jax.jit(resolve_dual, static_argnames=("opts",))
+_resolve_primal_jit = jax.jit(solve_canonical, static_argnames=("opts",))
+
+
+def _ensure_row_capacity(handle) -> None:
+    """Grow the canonical form (and carry the warm state over) when all padding
+    rows are consumed — SURVEY.md §8 'grow-by-recompile'."""
+    can = handle.can
+    if can.m < can.M:
+        return
+    grown = canonicalize(
+        handle.problem,
+        extra_row_capacity=max(8, can.M // 2) + (can.M - handle.problem.num_constraints),
+        dtype=can.A.dtype,
+    )
+    # `grown` reflects the *original* problem; replay the edits recorded in the
+    # current canonical arrays (cut/constraint rows beyond the problem's own,
+    # and any bound overrides from fix_var).
+    M_old, nv = can.M, can.nv
+    assert grown.nv == nv and grown.M > M_old
+    grown.A[: can.m, :nv] = can.A[: can.m, :nv]
+    grown.b[: can.m] = can.b[: can.m]
+    grown.c[:nv] = can.c[:nv]
+    grown.lo[:nv] = can.lo[:nv]
+    grown.hi[:nv] = can.hi[:nv]
+    # slack bounds of active rows (encode each row's op, incl. added cuts)
+    for i in range(can.m):
+        grown.lo[grown.slack_col(i)] = can.lo[can.slack_col(i)]
+        grown.hi[grown.slack_col(i)] = can.hi[can.slack_col(i)]
+    grown.m = can.m
+    grown.row_ops = list(can.row_ops)
+
+    # Carry the warm state: structural columns keep indices; slack of row i maps
+    # old nv+i -> new nv+i (same expression, larger M just appends rows).
+    vstat_old = np.asarray(handle.state.vstat)
+    basis_old = np.asarray(handle.state.basis)
+    vstat_new = grown.vstat0.copy()
+    vstat_new[:nv] = vstat_old[:nv]
+    vstat_new[nv : nv + M_old] = vstat_old[nv : nv + M_old]
+    basis_new = grown.basis0.copy()
+    basis_new[:M_old] = basis_old  # slack indices unchanged by the layout
+    grown.vstat0 = vstat_new
+    grown.basis0 = basis_new
+    handle.can = grown
+    handle.state = handle.state._replace(
+        basis=jnp.asarray(basis_new.astype(np.int32)),
+        vstat=jnp.asarray(vstat_new.astype(np.int8)),
+    )
+
+
+def _run_dual_resolve(handle) -> None:
+    can = handle.can
+    state = _resolve_dual_jit(
+        jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+        jnp.asarray(can.lo), jnp.asarray(can.hi),
+        handle.state.basis, handle.state.vstat,
+        opts=handle.opts,
+    )
+    _driver._raise_for_status(int(state.status))
+    handle.state = state
+    handle._x_cache = None
+
+
+def _run_primal_resolve(handle) -> None:
+    can = handle.can
+    state = _resolve_primal_jit(
+        jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+        jnp.asarray(can.lo), jnp.asarray(can.hi),
+        handle.state.vstat, handle.state.basis,
+        opts=handle.opts,
+    )
+    _driver._raise_for_status(int(state.status))
+    handle.state = state
+    handle._x_cache = None
+
+
+def _append_row(handle, coeffs_structural: np.ndarray, op, rhs: float) -> None:
+    """Activate one padding row in place (no reshape, no recompile)."""
+    _ensure_row_capacity(handle)
+    can = handle.can
+    i = can.m
+    sc = can.slack_col(i)
+    can.A[i, : can.nv] = coeffs_structural
+    can.b[i] = rhs
+    slo, shi = slack_bounds(op)
+    can.lo[sc] = slo
+    can.hi[sc] = shi
+    can.row_ops.append(op)
+    can.m = i + 1
+    # The row's slack is already basic (vstat BASIC, basis[i] == sc) from the
+    # padding construction — nothing to patch in the state.
+
+
+def add_constraint(handle, terms: List[Tuple[int, float]], op, rhs: float):
+    """`Solution::add_constraint` (SURVEY.md §4.2): append row, dual re-solve."""
+    coeffs = np.zeros((handle.can.nv,), dtype=handle.can.A.dtype)
+    for j, coeff in terms:
+        if not (0 <= j < handle.can.nv):
+            raise ValueError(f"constraint references unknown variable index {j}")
+        coeffs[j] += coeff
+    _append_row(handle, coeffs, op, float(rhs))
+    _run_dual_resolve(handle)
+    return api.Solution(handle, handle.problem)
+
+
+def fix_var(handle, idx: int, val: float):
+    """`Solution::fix_var` [API]: clamp bounds to [val, val], dual re-solve."""
+    can = handle.can
+    if not (0 <= idx < can.nv):
+        raise IndexError(f"variable index {idx} out of range")
+    if math.isnan(val):
+        raise ValueError("fix_var value must not be NaN")
+    if idx not in handle.fixed_bounds:
+        handle.fixed_bounds[idx] = (float(can.lo[idx]), float(can.hi[idx]))
+    can.lo[idx] = val
+    can.hi[idx] = val
+    # A non-basic variable becomes FIXED (its value moves to `val` on the next
+    # exact refactorization); a basic one keeps its row and gets pivoted out by
+    # the dual simplex if `val` disagrees with its current value.
+    vstat = np.asarray(handle.state.vstat).copy()
+    if vstat[idx] != int(VarStat.BASIC):
+        vstat[idx] = int(VarStat.FIXED)
+        handle.state = handle.state._replace(vstat=jnp.asarray(vstat))
+    _run_dual_resolve(handle)
+    return api.Solution(handle, handle.problem)
+
+
+def unfix_var(handle, idx: int):
+    """`Solution::unfix_var` [API]: restore original bounds; returns
+    (objective_changed, Solution)."""
+    can = handle.can
+    if idx not in handle.fixed_bounds:
+        raise ValueError(f"variable {idx} was not fixed")
+    obj_before = handle.user_objective()
+    lo0, hi0 = handle.fixed_bounds.pop(idx)
+    fixed_val = float(can.lo[idx])
+    can.lo[idx] = lo0
+    can.hi[idx] = hi0
+    vstat = np.asarray(handle.state.vstat).copy()
+    if vstat[idx] != int(VarStat.BASIC):
+        # Re-home the variable at a bound (non-basic variables must rest at a
+        # bound or at zero if free — SURVEY.md §3.2).
+        if fixed_val == lo0:
+            vstat[idx] = int(VarStat.AT_LOWER)
+        elif fixed_val == hi0:
+            vstat[idx] = int(VarStat.AT_UPPER)
+        elif math.isfinite(lo0):
+            vstat[idx] = int(VarStat.AT_LOWER)
+        elif math.isfinite(hi0):
+            vstat[idx] = int(VarStat.AT_UPPER)
+        else:
+            vstat[idx] = int(VarStat.FREE)
+        handle.state = handle.state._replace(vstat=jnp.asarray(vstat))
+    # Widening bounds can flip the variable's reduced-cost eligibility, so this
+    # needs the primal engine (dual feasibility may be lost); the warm basis
+    # makes phase 1 a (near-)no-op.
+    _run_primal_resolve(handle)
+    sol = api.Solution(handle, handle.problem)
+    changed = abs(handle.user_objective() - obj_before) > 1e-9 * (
+        1.0 + abs(obj_before)
+    )
+    return changed, sol
+
+
+def add_gomory_cut(handle, idx: int):
+    """`Solution::add_gomory_cut` [API]: derive a Gomory mixed-integer cut from
+    the basic row of variable `idx` and append it (SURVEY.md §3.2).
+
+    Validity convention: *structural* variables are treated as
+    integer-constrained, slack variables as continuous — the use case is the
+    reference's branch-and-cut driver where all structural variables are
+    integers (SURVEY.md §4.3).  The cut is expressed over structural variables
+    only by substituting each slack's defining row.
+    """
+    can = handle.can
+    state = handle.state
+    if not (0 <= idx < can.nv):
+        raise IndexError(f"variable index {idx} out of range")
+    basis = np.asarray(state.basis)
+    pos = np.nonzero(basis == idx)[0]
+    if pos.size == 0:
+        raise ValueError("add_gomory_cut requires a basic variable")
+    pos = int(pos[0])
+    xB = np.asarray(state.xB)
+    beta = float(xB[pos])
+    f0 = beta - math.floor(beta)
+    if f0 < 1e-6 or f0 > 1.0 - 1e-6:
+        raise ValueError("add_gomory_cut requires a fractional basic variable")
+
+    # Tableau row of the basic variable: α = (B⁻¹)_pos · A  (BTRAN row read).
+    Binv_row = np.asarray(state.Binv[pos])
+    alpha = Binv_row @ can.A  # (N,)
+    vstat = np.asarray(state.vstat)
+
+    # Gomory mixed-integer cut over the *shifted* non-basic variables
+    # x'_j = x_j - lo_j (at lower) or hi_j - x_j (at upper):  Σ γ_j x'_j ≥ 1.
+    n_active = can.nv + can.M
+    gamma = np.zeros(n_active)
+    for j in range(n_active):
+        vs = vstat[j]
+        if vs == int(VarStat.BASIC) or vs == int(VarStat.FIXED):
+            continue
+        a = float(alpha[j])
+        if vs == int(VarStat.AT_UPPER):
+            a = -a  # shifted variable hi_j - x_j
+        if abs(a) < 1e-12:
+            continue
+        if vs == int(VarStat.FREE):
+            # The GMI derivation needs non-negative shifted variables; a free
+            # non-basic with support in the row would make the cut invalid.
+            raise ValueError(
+                "add_gomory_cut: row involves a free non-basic variable"
+            )
+        if j < can.nv:
+            # integer variable: fractional-part formula
+            fj = a - math.floor(a)
+            g = min(fj / f0, (1.0 - fj) / (1.0 - f0))
+        else:
+            # continuous (slack): MIR formula
+            g = a / f0 if a > 0 else -a / (1.0 - f0)
+        gamma[j] = g
+
+    # Un-shift into original variables: Σ c_j x_j ≥ rhs.
+    coeffs = np.zeros(n_active)
+    rhs = 1.0
+    for j in range(n_active):
+        g = gamma[j]
+        if g == 0.0:
+            continue
+        if vstat[j] == int(VarStat.AT_UPPER):
+            # g·(hi_j - x_j) → -g·x_j, rhs -= g·hi_j ... move constant right
+            coeffs[j] -= g
+            rhs -= g * float(can.hi[j])
+        else:
+            coeffs[j] += g
+            rhs += g * float(can.lo[j]) if math.isfinite(can.lo[j]) else 0.0
+
+    # Substitute slacks:  s_i = b_i - Σ_k A[i,k] x_k (structural support only).
+    cut = coeffs[: can.nv].copy()
+    cut_rhs = rhs
+    for i in range(can.m):
+        g = coeffs[can.nv + i]
+        if g == 0.0:
+            continue
+        cut -= g * can.A[i, : can.nv]
+        cut_rhs -= g * float(can.b[i])
+
+    _append_row(handle, cut, api.ComparisonOp.Ge, cut_rhs)
+    _run_dual_resolve(handle)
+    return api.Solution(handle, handle.problem)

@@ -1,0 +1,79 @@
+"""Solver options — the single frozen configuration object.
+
+The reference has *no* runtime configuration: all numerics are hardcoded consts
+(feasibility/pricing epsilon ~1e-8, LU stability coefficient ~0.1, refactorization
+threshold) per SURVEY.md §6.6 (`src/solver.rs`, `src/lu.rs` consts [CODE]).  We keep
+that spirit: one frozen dataclass whose defaults mirror the reference's constants,
+no global flag system.  The dataclass is hashable so it can be a static argument to
+`jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Numeric and engine options for the TPU LP solver.
+
+    Defaults follow the reference's hardcoded constants where known
+    (SURVEY.md §6.6: pricing/feasibility epsilon ~1e-8) and standard
+    revised-simplex practice elsewhere.
+    """
+
+    # --- tolerances -----------------------------------------------------------
+    #: Primal feasibility tolerance: a basic value within this of its bound is
+    #: considered feasible (reference: ~1e-8, src/solver.rs consts [CODE]).
+    feas_tol: float = 1e-8
+    #: Dual feasibility / optimality tolerance on reduced costs.
+    opt_tol: float = 1e-8
+    #: Minimum acceptable pivot magnitude in the ratio test / basis update.
+    pivot_tol: float = 1e-8
+    #: Relative window for the ratio-test tie set (stability tie-break picks the
+    #: largest |pivot| among ratios within this window of the minimum).
+    ratio_tie_rel: float = 1e-7
+    #: Absolute slack added to the ratio tie window.
+    ratio_tie_abs: float = 1e-9
+
+    # --- iteration control ----------------------------------------------------
+    #: Hard cap on simplex iterations per phase; None → 32 * (m + n) + 1000.
+    max_iter: Optional[int] = None
+    #: Refactorize (rebuild the basis inverse from scratch) every this many pivots.
+    #: The reference refactorizes on eta-file blowup (SURVEY.md §3.2 [BASELINE]);
+    #: a fixed period is the fixed-shape XLA-friendly equivalent.
+    refactor_period: int = 64
+    #: Switch to Bland's anti-cycling rule after this many iterations without
+    #: objective (or phase-1 infeasibility) improvement.
+    bland_after: int = 50
+
+    # --- numerics -------------------------------------------------------------
+    #: Working dtype: "float64" (default; emulated but correct on TPU) or "float32".
+    dtype: str = "float64"
+    #: Newton refinement sweeps applied to the f32-seeded basis inverse when the
+    #: working dtype is float64 on a backend without native f64 LU (TPU).
+    newton_refine_iters: int = 3
+    #: Engine: "simplex" (revised primal/dual simplex) or "pdhg" (first-order).
+    engine: str = "simplex"
+
+    # --- shape padding (XLA static-shape friendliness) ------------------------
+    #: Round padded row count up to a multiple of this (TPU sublane = 8).
+    row_align: int = 8
+    #: Round padded column count up to a multiple of this (TPU lane = 128).
+    col_align: int = 128
+    #: Extra row capacity for incremental `add_constraint` without recompiling.
+    row_capacity_slack: int = 0
+
+    # --- PDHG engine ----------------------------------------------------------
+    pdhg_max_iter: int = 200_000
+    pdhg_check_every: int = 64
+    pdhg_restart_beta: float = 0.9
+
+    def effective_max_iter(self, m: int, n: int) -> int:
+        if self.max_iter is not None:
+            return int(self.max_iter)
+        return 32 * (m + n) + 1000
+
+
+DEFAULT_OPTIONS = SolverOptions()

@@ -1,0 +1,27 @@
+"""Test configuration: CPU backend with 8 virtual devices, f64 enabled.
+
+Multi-host/multi-chip code paths are exercised on a faked 8-device CPU mesh
+(SURVEY.md §5 (d) — the standard JAX host-count-simulation trick); the real-TPU
+path is covered by bench.py and the driver's compile checks.
+"""
+
+import os
+
+# Must run before jax is imported anywhere.  The harness environment pins
+# JAX_PLATFORMS=axon (the real TPU); tests force CPU unless explicitly opted
+# onto hardware with MINILP_TPU_TEST_TPU=1.
+if not os.environ.get("MINILP_TPU_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+if not os.environ.get("MINILP_TPU_TEST_TPU"):
+    # The axon sitecustomize pins JAX_PLATFORMS=axon before we run; the config
+    # update (unlike the env var) reliably selects CPU.
+    jax.config.update("jax_platforms", "cpu")

@@ -41,10 +41,10 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
         bland = noimprove >= opts.bland_after
 
         # -- leaving row: largest bound violation --------------------------------
+        # (±inf bounds give -inf differences which max(·,0) absorbs; avoiding an
+        # isfinite mask also sidesteps an axon-TPU compiler crash.)
         viol_lo = jnp.maximum(loB - xB, 0.0)
         viol_hi = jnp.maximum(xB - hiB, 0.0)
-        viol_lo = jnp.where(jnp.isfinite(viol_lo), viol_lo, 0.0)
-        viol_hi = jnp.where(jnp.isfinite(viol_hi), viol_hi, 0.0)
         viol = viol_lo + viol_hi
         r = jnp.argmax(viol).astype(jnp.int32)
         max_viol = viol[r]
@@ -109,29 +109,32 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
                     basis=basis2, vstat=vstat2, xB=xB2, d=d2, Binv=Binv2, obj=obj2
                 )
 
-            s2 = lax.cond(jnp.any(elig), pivot, no_entering, st)
+            return lax.cond(jnp.any(elig), pivot, no_entering, st)
 
-            # -- progress / periodic refactorization ----------------------------
-            eps = 1e-10 * (1.0 + jnp.where(jnp.isfinite(best), jnp.abs(best), 0.0))
-            improved = max_viol < best - eps
-            noimp2 = jnp.where(improved, 0, noimprove + 1).astype(jnp.int32)
-            best2 = jnp.minimum(best, max_viol)
-            niter2 = niter + 1
-            do_refac = (niter2 % opts.refactor_period == 0) & (
-                s2.status == Status.RUNNING
+        took_step = max_viol > opts.feas_tol
+        s2 = lax.cond(took_step, do_iteration, feasible_case, state)
+
+        # -- progress / periodic refactorization (hoisted out of the branches) --
+        eps = 1e-10 * (1.0 + jnp.where(jnp.isfinite(best), jnp.abs(best), 0.0))
+        improved = max_viol < best - eps
+        noimp2 = jnp.where(improved, 0, noimprove + 1).astype(jnp.int32)
+        best2 = jnp.minimum(best, max_viol)
+        niter2 = niter + jnp.where(took_step, 1, 0).astype(jnp.int32)
+        do_refac = (
+            took_step
+            & (niter2 % opts.refactor_period == 0)
+            & (s2.status == Status.RUNNING)
+        )
+
+        def refac(s3: SimplexState) -> SimplexState:
+            Binv3, xB3, d3, obj3 = refactorize(
+                A, b, c, lo, hi, s3.basis, s3.vstat,
+                newton_iters=opts.newton_refine_iters,
             )
+            return s3._replace(Binv=Binv3, xB=xB3, d=d3, obj=obj3)
 
-            def refac(s3: SimplexState) -> SimplexState:
-                Binv3, xB3, d3, obj3 = refactorize(
-                    A, b, c, lo, hi, s3.basis, s3.vstat,
-                    newton_iters=opts.newton_refine_iters,
-                )
-                return s3._replace(Binv=Binv3, xB=xB3, d=d3, obj=obj3)
-
-            s2 = lax.cond(do_refac, refac, lambda s3: s3, s2)
-            return s2._replace(niter=niter2, noimprove=noimp2, best=best2)
-
-        return lax.cond(max_viol <= opts.feas_tol, feasible_case, do_iteration, state)
+        s2 = lax.cond(do_refac, refac, lambda s3: s3, s2)
+        return s2._replace(niter=niter2, noimprove=noimp2, best=best2)
 
     return step
 

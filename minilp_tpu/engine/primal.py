@@ -137,36 +137,39 @@ def make_step(A, b, c, lo, hi, opts: SolverOptions, phase1: bool):
                     basis=basis2, vstat=vstat2, xB=xB2, d=d2, Binv=Binv2, obj=obj2
                 )
 
-            s2 = lax.cond(
+            return lax.cond(
                 rt.unbounded,
                 unbounded_case,
                 lambda st2: lax.cond(rt.flip, flip_case, pivot_case, st2),
                 st,
             )
 
-            # -- progress accounting (anti-cycling trigger) --------------------
-            eps = 1e-10 * (1.0 + jnp.where(jnp.isfinite(best), jnp.abs(best), 0.0))
-            improved = metric < best - eps
-            noimp2 = jnp.where(improved, 0, noimprove + 1).astype(jnp.int32)
-            best2 = jnp.minimum(best, metric)
-            niter2 = niter + 1
+        s2 = lax.cond(ch.found, do_iteration, no_entering, state)
 
-            # -- periodic refactorization (drift cleanup) ----------------------
-            do_refac = (niter2 % opts.refactor_period == 0) & (
-                s2.status == Status.RUNNING
+        # -- progress accounting (anti-cycling trigger); hoisted out of the
+        #    cond branches (benign when the loop is about to exit) -------------
+        eps = 1e-10 * (1.0 + jnp.where(jnp.isfinite(best), jnp.abs(best), 0.0))
+        improved = metric < best - eps
+        noimp2 = jnp.where(improved, 0, noimprove + 1).astype(jnp.int32)
+        best2 = jnp.minimum(best, metric)
+        niter2 = niter + jnp.where(ch.found, 1, 0).astype(jnp.int32)
+
+        # -- periodic refactorization (drift cleanup) --------------------------
+        do_refac = (
+            ch.found
+            & (niter2 % opts.refactor_period == 0)
+            & (s2.status == Status.RUNNING)
+        )
+
+        def refac(s3: SimplexState) -> SimplexState:
+            Binv3, xB3, d3, obj3 = refactorize(
+                A, b, c, lo, hi, s3.basis, s3.vstat,
+                newton_iters=opts.newton_refine_iters,
             )
+            return s3._replace(Binv=Binv3, xB=xB3, d=d3, obj=obj3)
 
-            def refac(s3: SimplexState) -> SimplexState:
-                Binv3, xB3, d3, obj3 = refactorize(
-                    A, b, c, lo, hi, s3.basis, s3.vstat,
-                    newton_iters=opts.newton_refine_iters,
-                )
-                return s3._replace(Binv=Binv3, xB=xB3, d=d3, obj=obj3)
-
-            s2 = lax.cond(do_refac, refac, lambda s3: s3, s2)
-            return s2._replace(niter=niter2, noimprove=noimp2, best=best2)
-
-        return lax.cond(ch.found, do_iteration, no_entering, state)
+        s2 = lax.cond(do_refac, refac, lambda s3: s3, s2)
+        return s2._replace(niter=niter2, noimprove=noimp2, best=best2)
 
     return step
 

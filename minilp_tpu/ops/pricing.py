@@ -84,9 +84,11 @@ def phase1_sigma(
     below = xB < loB - feas_tol
     above = xB > hiB + feas_tol
     sigma = jnp.where(below, -1.0, jnp.where(above, 1.0, 0.0)).astype(xB.dtype)
+    # lo=-inf / hi=+inf give -inf in the difference; max(·, 0) absorbs them, so
+    # no isfinite mask is needed (which also sidesteps an axon-TPU compiler
+    # crash when such a masked reduction is captured inside lax.cond).
     viol = jnp.maximum(loB - xB, 0.0) + jnp.maximum(xB - hiB, 0.0)
-    # lo=-inf / hi=+inf give -inf in the difference; max(·, 0) erases them.
-    infeas = jnp.sum(jnp.where(jnp.isfinite(viol), viol, 0.0))
+    infeas = jnp.sum(viol)
     return sigma, infeas
 
 

@@ -1,0 +1,183 @@
+"""MPS reader gate (reference C7/C8: Netlib load path, SURVEY.md §4.5).
+
+No Netlib data ships with this machine (see BASELINE.md provenance note), so
+the gate parses handwritten MPS fixtures — covering ROWS/COLUMNS/RHS/RANGES/
+BOUNDS and gzip — and cross-checks full solves against the scipy oracle.
+"""
+
+import gzip
+import math
+
+import pytest
+
+from minilp_tpu import ComparisonOp, OptimizationDirection
+from minilp_tpu.io.mps import parse_mps, read_mps
+
+from .oracle import solve_with_oracle
+
+TOL = 1e-6
+
+
+def rel_close(a, b, tol=TOL):
+    return abs(a - b) <= tol * (1.0 + abs(b))
+
+
+SIMPLE = """\
+NAME          SIMPLE
+ROWS
+ N  COST
+ L  LIM1
+ G  LIM2
+ E  EQ1
+COLUMNS
+    X1        COST         1.0   LIM1         1.0
+    X1        LIM2         1.0
+    X2        COST         2.0   LIM1         1.0
+    X2        EQ1          1.0
+    X3        COST        -1.0   LIM2         1.0
+    X3        EQ1          1.0
+RHS
+    RHS       LIM1         4.0   LIM2         1.0
+    RHS       EQ1          7.0
+BOUNDS
+ UP BND       X1           4.0
+ LO BND       X2          -1.0
+ENDATA
+"""
+
+
+def test_parse_simple_structure():
+    mp = parse_mps(SIMPLE)
+    prob = mp.problem
+    assert mp.name == "SIMPLE"
+    assert prob.num_vars == 3
+    assert prob.num_constraints == 3
+    assert prob._lo == [0.0, -1.0, 0.0]
+    assert prob._hi == [4.0, math.inf, math.inf]
+    assert prob._obj == [1.0, 2.0, -1.0]
+    ops = [op for _, op, _ in prob._constraints]
+    assert ops == [ComparisonOp.Le, ComparisonOp.Ge, ComparisonOp.Eq]
+
+
+def test_solve_simple_matches_oracle():
+    mp = parse_mps(SIMPLE)
+    outcome, obj, _ = solve_with_oracle(mp.problem)
+    assert outcome == "optimal"
+    sol = mp.problem.solve()
+    assert rel_close(sol.objective(), obj)
+
+
+RANGED = """\
+NAME RANGED
+ROWS
+ N obj
+ L r1
+ G r2
+ E r3
+COLUMNS
+ x obj 1.0 r1 1.0
+ x r2 1.0 r3 1.0
+ y obj 1.0 r1 2.0
+ y r2 -1.0 r3 1.0
+RHS
+ rhs r1 10.0 r2 0.0
+ rhs r3 4.0
+RANGES
+ rng r1 4.0 r2 3.0
+ rng r3 2.0
+ENDATA
+"""
+
+
+def test_ranges_become_two_sided():
+    mp = parse_mps(RANGED)
+    prob = mp.problem
+    # each ranged row expands to Ge+Le
+    assert prob.num_constraints == 6
+    assert len(mp.rows["r1"]) == 2
+    outcome, obj, _ = solve_with_oracle(prob)
+    assert outcome == "optimal"
+    sol = prob.solve()
+    assert rel_close(sol.objective(), obj)
+
+
+OBJCONST = """\
+NAME OBJCONST
+ROWS
+ N obj
+ G g1
+COLUMNS
+ x obj 2.0 g1 1.0
+RHS
+ rhs g1 3.0 obj -5.0
+ENDATA
+"""
+
+
+def test_objective_constant_convention():
+    mp = parse_mps(OBJCONST)
+    assert mp.obj_constant == 5.0
+    sol = mp.problem.solve()
+    # min 2x, x>=3 → 6; plus constant → 11
+    assert rel_close(mp.objective_value(sol), 11.0)
+
+
+FREE_NEG_UP = """\
+NAME QUIRK
+ROWS
+ N obj
+ G g1
+COLUMNS
+ x obj 1.0 g1 1.0
+ y obj 1.0 g1 1.0
+BOUNDS
+ UP B x -2.0
+ FR B y
+RHS
+ rhs g1 -10.0
+ENDATA
+"""
+
+
+def test_negative_up_bound_quirk_and_fr():
+    mp = parse_mps(FREE_NEG_UP)
+    prob = mp.problem
+    # UP with negative value and no LO → lower bound becomes -inf
+    assert prob._lo[0] == -math.inf and prob._hi[0] == -2.0
+    assert prob._lo[1] == -math.inf and prob._hi[1] == math.inf
+    outcome, obj, _ = solve_with_oracle(prob)
+    assert outcome == "optimal"
+    sol = prob.solve()
+    assert rel_close(sol.objective(), obj)
+
+
+def test_integer_markers_and_bv():
+    text = """\
+NAME INTS
+ROWS
+ N obj
+ L c1
+COLUMNS
+    MARKER                 'MARKER'                 'INTORG'
+    a obj -1.0 c1 1.0
+    MARKER                 'MARKER'                 'INTEND'
+    b obj -1.0 c1 1.0
+RHS
+ rhs c1 5.0
+BOUNDS
+ BV bnd b
+ENDATA
+"""
+    mp = parse_mps(text)
+    assert mp.integer_vars == ["a", "b"]
+    assert mp.problem._hi[1] == 1.0
+
+
+def test_gzip_roundtrip(tmp_path):
+    p = tmp_path / "simple.mps.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(SIMPLE)
+    mp = read_mps(str(p))
+    sol = mp.problem.solve()
+    outcome, obj, _ = solve_with_oracle(mp.problem)
+    assert rel_close(sol.objective(), obj)

@@ -1,0 +1,109 @@
+"""Parallel-path gates on the faked 8-device CPU mesh (SURVEY.md §5 (d)/(e)):
+batched DP solves vs oracle, sharded-batch equivalence, and determinism of the
+column-sharded pricing reduction."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from minilp_tpu import DEFAULT_OPTIONS, Status, VarStat
+from minilp_tpu.ops.pricing import choose_entering
+from minilp_tpu.parallel import batched, mesh as mesh_mod, pricing
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return mesh_mod.make_mesh(n_data=4, n_model=2)
+
+
+def _oracle_solve_canonical(A, b, c, lo, hi):
+    """linprog on one canonical LP (equality form with slack bounds)."""
+    from scipy.optimize import linprog
+
+    n = c.shape[0]
+    bounds = [
+        (None if not np.isfinite(lo[j]) else lo[j],
+         None if not np.isfinite(hi[j]) else hi[j])
+        for j in range(n)
+    ]
+    res = linprog(c, A_eq=A, b_eq=b, bounds=bounds, method="highs")
+    return res
+
+
+def test_batched_solves_match_oracle():
+    key = jax.random.PRNGKey(0)
+    B, m, nv = 16, 6, 10
+    args = batched.make_random_batch(key, B, m, nv)
+    state = batched.solve_batch(*args, opts=DEFAULT_OPTIONS)
+    A, b, c, lo, hi, _, _ = [np.asarray(x) for x in args]
+    assert (np.asarray(state.status) == int(Status.OPTIMAL)).all()
+    for i in range(B):
+        res = _oracle_solve_canonical(A[i], b[i], c[i], lo[i], hi[i])
+        assert res.status == 0
+        got = float(state.obj[i])
+        assert abs(got - res.fun) <= 1e-6 * (1 + abs(res.fun)), i
+
+
+def test_batched_sharded_equals_unsharded(mesh8):
+    key = jax.random.PRNGKey(1)
+    B, m, nv = 32, 5, 7
+    args = batched.make_random_batch(key, B, m, nv)
+    plain = batched.solve_batch(*args, opts=DEFAULT_OPTIONS)
+    sharded = batched.solve_batch_sharded(mesh8, *args, opts=DEFAULT_OPTIONS)
+    # bit-identical results lane by lane (same program, partitioned data)
+    np.testing.assert_array_equal(np.asarray(plain.obj), np.asarray(sharded.obj))
+    np.testing.assert_array_equal(
+        np.asarray(plain.niter), np.asarray(sharded.niter)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(plain.basis), np.asarray(sharded.basis)
+    )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_sharded_pricing_matches_single_device(mesh8, seed):
+    rng = np.random.default_rng(seed)
+    n = 256  # divisible by the 2-wide model axis
+    d = jnp.asarray(rng.normal(size=n))
+    vstat = jnp.asarray(
+        rng.choice(
+            [int(VarStat.AT_LOWER), int(VarStat.AT_UPPER), int(VarStat.FREE),
+             int(VarStat.FIXED), int(VarStat.BASIC)],
+            size=n,
+        ).astype(np.int8)
+    )
+    ref = choose_entering(d, vstat, 1e-8, jnp.bool_(False))
+    got = pricing.choose_entering_sharded(mesh8, d, vstat, 1e-8, bland=False)
+    assert bool(ref.found) == bool(got.found)
+    if bool(ref.found):
+        assert int(ref.q) == int(got.q)
+        assert float(ref.direction) == float(got.direction)
+
+
+def test_sharded_pricing_bland_matches(mesh8):
+    rng = np.random.default_rng(99)
+    n = 128
+    d = jnp.asarray(rng.normal(size=n))
+    vstat = jnp.asarray(
+        rng.choice([0, 1, 2, 3, 4], size=n).astype(np.int8)
+    )
+    ref = choose_entering(d, vstat, 1e-8, jnp.bool_(True))
+    got = pricing.choose_entering_sharded(mesh8, d, vstat, 1e-8, bland=True)
+    if bool(ref.found):
+        assert int(ref.q) == int(got.q)
+
+
+def test_pricing_tie_break_is_lowest_index(mesh8):
+    # identical scores on two shards → the lower global index must win
+    n = 128
+    d = np.zeros(n)
+    d[10] = -5.0
+    d[100] = -5.0  # same |d|, other shard
+    vstat = np.full(n, int(VarStat.AT_LOWER), dtype=np.int8)
+    got = pricing.choose_entering_sharded(
+        mesh8, jnp.asarray(d), jnp.asarray(vstat), 1e-8
+    )
+    assert int(got.q) == 10

@@ -35,7 +35,8 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
     """One dual simplex iteration; returns SimplexState -> SimplexState."""
 
     def step(state: SimplexState) -> SimplexState:
-        basis, vstat, xB, d, Binv, obj, niter, status, noimprove, best = state
+        (basis, vstat, xB, d, Binv, obj, niter, status, noimprove, best,
+         _weights) = state
         loB = jnp.take(lo, basis)
         hiB = jnp.take(hi, basis)
         bland = noimprove >= opts.bland_after
@@ -181,5 +182,6 @@ def resolve_dual(
         status=jnp.int32(Status.RUNNING),
         noimprove=jnp.int32(0),
         best=jnp.array(jnp.inf, dtype=dtype),
+        weights=jnp.ones_like(d),
     )
     return run_dual(A, b, c, lo, hi, opts, state, max_iter)

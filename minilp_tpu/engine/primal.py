@@ -47,7 +47,8 @@ def make_step(A, b, c, lo, hi, opts: SolverOptions, phase1: bool):
     dtype = A.dtype
 
     def step(state: SimplexState) -> SimplexState:
-        basis, vstat, xB, d, Binv, obj, niter, status, noimprove, best = state
+        (basis, vstat, xB, d, Binv, obj, niter, status, noimprove, best,
+         weights) = state
         loB = jnp.take(lo, basis)
         hiB = jnp.take(hi, basis)
         bland = noimprove >= opts.bland_after
@@ -60,7 +61,11 @@ def make_step(A, b, c, lo, hi, opts: SolverOptions, phase1: bool):
             dcur = d
             metric = obj
 
-        ch = choose_entering(dcur, vstat, opts.opt_tol, bland)
+        use_devex = (not phase1) and opts.pricing == "devex"
+        ch = choose_entering(
+            dcur, vstat, opts.opt_tol, bland,
+            weights=weights if use_devex else None,
+        )
 
         # -- no entering column: phase-1 ⇒ infeasibility is minimal and positive
         #    (the loop condition guarantees we're still infeasible) ⇒ INFEASIBLE;
@@ -126,15 +131,37 @@ def make_step(A, b, c, lo, hi, opts: SolverOptions, phase1: bool):
                 basis2 = basis.at[r].set(q)
                 Binv2 = pfi_update(Binv, w, r)
                 if phase1:
-                    d2, obj2 = d, obj
+                    d2, obj2, weights2 = d, obj, weights
                 else:
                     rd = dcur[q] / w[r]
                     d2 = dcur - rd * alpha
                     d2 = d2.at[q].set(0.0).at[lv].set(-rd)
                     d2 = jnp.where(vstat2 == VarStat.BASIC, 0.0, d2)
                     obj2 = obj + dcur[q] * s * t
+                    if use_devex:
+                        # Devex reference-weight update (approximate steepest
+                        # edge, SURVEY.md §3.2 "Pricing"): the pivot row α is
+                        # already in hand from the reduced-cost update, so the
+                        # weight maintenance is one fused vector pass.
+                        gq = jnp.maximum(weights[q], 1.0)
+                        tcol = alpha / w[r]
+                        cand = (tcol * tcol) * gq
+                        w_new = jnp.maximum(weights, cand)
+                        w_new = w_new.at[lv].set(
+                            jnp.maximum(gq / (w[r] * w[r]), 1.0)
+                        )
+                        w_new = w_new.at[q].set(1.0)
+                        # reference framework degraded → fresh (Dantzig-like)
+                        weights2 = jnp.where(
+                            gq > opts.devex_reset,
+                            jnp.ones_like(w_new),
+                            w_new,
+                        )
+                    else:
+                        weights2 = weights
                 return s2._replace(
-                    basis=basis2, vstat=vstat2, xB=xB2, d=d2, Binv=Binv2, obj=obj2
+                    basis=basis2, vstat=vstat2, xB=xB2, d=d2, Binv=Binv2,
+                    obj=obj2, weights=weights2,
                 )
 
             return lax.cond(
@@ -242,6 +269,7 @@ def solve_canonical(
         status=jnp.int32(Status.RUNNING),
         noimprove=jnp.int32(0),
         best=jnp.array(jnp.inf, dtype=dtype),
+        weights=jnp.ones_like(d),
     )
 
     state = run_phase1(A, b, c, lo, hi, opts, state, max_iter)

@@ -35,3 +35,4 @@ class SimplexState(NamedTuple):
     status: jnp.ndarray  # ()  int32  — Status code
     noimprove: jnp.ndarray  # () int32 — iterations since last progress (anti-cycling)
     best: jnp.ndarray    # ()  f      — best progress metric seen (phase-dependent)
+    weights: jnp.ndarray  # (N,) f    — Devex reference weights γ (pricing)

@@ -56,6 +56,12 @@ class SolverOptions:
     newton_refine_iters: int = 3
     #: Engine: "simplex" (revised primal/dual simplex) or "pdhg" (first-order).
     engine: str = "simplex"
+    #: Phase-2 pricing rule: "devex" (approximate steepest-edge reference
+    #: weights, the reference's "Dantzig + steepest-edge" scheme — fresh
+    #: weights make early iterations Dantzig-like) or "dantzig".
+    pricing: str = "devex"
+    #: Reset Devex weights to 1 when the entering weight exceeds this.
+    devex_reset: float = 1e8
 
     # --- shape padding (XLA static-shape friendliness) ------------------------
     #: Round padded row count up to a multiple of this (TPU sublane = 8).

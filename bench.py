@@ -22,6 +22,11 @@ import numpy as np
 def main() -> None:
     import jax
 
+    # Persistent compilation cache: the TPU backend's remote compile is slow
+    # (minutes for the full solver graph); cache executables across runs.
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import minilp_tpu  # noqa: F401  (enables x64)
     from minilp_tpu.options import SolverOptions
     from minilp_tpu.parallel import batched

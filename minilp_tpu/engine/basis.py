@@ -66,6 +66,27 @@ def basis_matrix(A: jnp.ndarray, basis: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(A, basis, axis=1)
 
 
+def newton_refresh(B: jnp.ndarray, X: jnp.ndarray, iters: int):
+    """Newton–Schulz refinement X ← X + X(I − BX) of an approximate inverse.
+
+    Matmul-only (MXU), quadratically convergent while ‖I − BX‖ < 1.  The
+    PFI-maintained inverse accumulates only roundoff between refactorizations,
+    so it is deep inside the basin; this replaces an in-graph LU entirely —
+    LU factorization compiles to a large sequential XLA while-graph on TPU and
+    dominates compile time, while Newton is three fused matmuls.
+
+    Returns (X_refined, resid) with resid = max|I − BX| *before* the last
+    correction — a divergence telltale for the caller.
+    """
+    eye = jnp.eye(B.shape[0], dtype=B.dtype)
+    R = eye - B @ X
+    resid = jnp.max(jnp.abs(R))
+    for _ in range(max(iters, 1)):
+        X = X + X @ R
+        R = eye - B @ X
+    return X, jnp.minimum(resid, jnp.max(jnp.abs(R)))
+
+
 @partial(jax.jit, static_argnames=("newton_iters",))
 def refactorize(
     A: jnp.ndarray,
@@ -75,16 +96,24 @@ def refactorize(
     hi: jnp.ndarray,
     basis: jnp.ndarray,
     vstat: jnp.ndarray,
+    seed_Binv: jnp.ndarray,
     newton_iters: int = 3,
 ):
-    """Rebuild (Binv, xB, d, obj) exactly from (basis, vstat).
+    """Rebuild (Binv, xB, d, obj, ok) from (basis, vstat) and an inverse seed.
 
-    Equivalent of `BasisSolver::reset` (SURVEY.md §4.4) minus the ordering stage.
-    Also used to initialize a cold solve and to clean up drift at the periodic
-    refactorization (the fixed-shape analog of the reference's eta-file-blowup
-    trigger [BASELINE]).
+    Equivalent of `BasisSolver::reset` (SURVEY.md §4.4) minus the ordering
+    stage: refreshes the basis inverse (Newton–Schulz from `seed_Binv` — the
+    maintained inverse, or the exact identity for a cold slack basis), then
+    recomputes basic values, reduced costs and the objective exactly.
+
+    `ok=False` signals the seed was outside Newton's basin (‖I − B·seed‖ ≥ 1);
+    the engine then exits with Status.NUMERICAL and the host driver rebuilds
+    the inverse exactly (numpy f64 LU) and resumes — keeping the rare hard
+    case off the compiled hot path.
     """
-    Binv = stable_inverse(basis_matrix(A, basis), newton_iters)
+    B = basis_matrix(A, basis)
+    Binv, resid = newton_refresh(B, seed_Binv, newton_iters)
+    ok = resid < 0.5
     xN = nonbasic_values(vstat, lo, hi)
     rhs_eff = b - A @ xN
     xB = Binv @ rhs_eff
@@ -92,7 +121,7 @@ def refactorize(
     d = c - y @ A
     d = jnp.where(vstat == VarStat.BASIC, 0.0, d)
     obj = c[basis] @ xB + c @ xN
-    return Binv, xB, d, obj
+    return Binv, xB, d, obj, ok
 
 
 def ftran(Binv: jnp.ndarray, col: jnp.ndarray) -> jnp.ndarray:

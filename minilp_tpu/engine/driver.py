@@ -19,6 +19,7 @@ from .. import api
 from ..canonical import CanonicalLP, canonicalize
 from ..options import SolverOptions
 from ..status import Status, VarStat
+from ..utils import records
 from . import incremental
 from .primal import solve_canonical
 from .state import SimplexState
@@ -103,25 +104,128 @@ class EngineHandle:
         return incremental.add_gomory_cut(self, idx)
 
 
+class PdhgHandle:
+    """Solution handle for the first-order engine (no basis, no incremental API).
+
+    The PDHG engine returns primal/dual iterates rather than a simplex basis;
+    the incremental warm-start surface is simplex-specific (as in the
+    reference), so those methods direct the user back to `engine="simplex"`.
+    """
+
+    def __init__(self, can: CanonicalLP, pstate, problem, opts):
+        self.can = can
+        self.pstate = pstate
+        self.problem = problem
+        self.opts = opts
+
+    def user_objective(self) -> float:
+        x = np.asarray(self.pstate.x)
+        return float(self.can.obj_sign * (self.can.c @ x))
+
+    def var_value(self, idx: int) -> float:
+        if not (0 <= idx < self.can.nv):
+            raise IndexError(f"variable index {idx} out of range")
+        return float(self.pstate.x[idx])
+
+    def iterations(self) -> int:
+        return int(self.pstate.niter)
+
+    def _no_incremental(self, *_args, **_kw):
+        raise api.SolverFailure(
+            "incremental re-solve requires the simplex engine "
+            '(SolverOptions(engine="simplex"))'
+        )
+
+    add_constraint = fix_var = unfix_var = add_gomory_cut = _no_incremental
+
+
+def _solve_problem_pdhg(problem: "api.Problem") -> "api.Solution":
+    from .pdhg import solve_pdhg
+
+    opts = problem.options
+    can = canonicalize(problem, dtype=_np_dtype(opts))
+    with records.timed() as t:
+        pstate = solve_pdhg(
+            jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+            jnp.asarray(can.lo), jnp.asarray(can.hi), opts=opts,
+        )
+        status = int(pstate.status)
+    if records.enabled():
+        records.emit(records.SolveRecord(
+            event="pdhg_solve", engine="pdhg", status=Status(status).name,
+            rows=can.m, cols=can.nv, padded_rows=can.M, padded_cols=can.N,
+            iterations=int(pstate.niter),
+            objective=(
+                float(can.obj_sign * float(can.c @ np.asarray(pstate.x)))
+                if status == Status.OPTIMAL else None
+            ),
+            wall_s=t.wall_s, backend=jax.default_backend(), dtype=opts.dtype,
+        ))
+    if status == Status.MAX_ITER:
+        raise api.SolverFailure(
+            f"PDHG did not converge in {opts.pdhg_max_iter} iterations "
+            f"(KKT error {float(pstate.err):.2e})"
+        )
+    _raise_for_status(status)
+    return api.Solution(PdhgHandle(can, pstate, problem, opts), problem)
+
+
 def solve_problem(problem: "api.Problem") -> "api.Solution":
     """Cold solve: `Problem::solve` equivalent (SURVEY.md §4.1)."""
     opts = problem.options
+    if opts.engine == "pdhg":
+        return _solve_problem_pdhg(problem)
+    if opts.engine != "simplex":
+        raise ValueError(f"unknown engine {opts.engine!r}")
     can = canonicalize(
         problem,
         extra_row_capacity=opts.row_capacity_slack,
         dtype=_np_dtype(opts),
     )
-    state = _solve_jit(
+    args = (
         jnp.asarray(can.A),
         jnp.asarray(can.b),
         jnp.asarray(can.c),
         jnp.asarray(can.lo),
         jnp.asarray(can.hi),
-        jnp.asarray(can.vstat0),
-        jnp.asarray(can.basis0),
-        opts=opts,
     )
-    status = int(state.status)
+    with records.timed() as t:
+        state = _solve_jit(*args, jnp.asarray(can.vstat0),
+                           jnp.asarray(can.basis0), opts=opts)
+        if int(state.status) == int(Status.NUMERICAL):
+            # Rare: the in-graph Newton refresh diverged.  Rebuild the inverse
+            # exactly on the host and resume from the failed state's basis
+            # through the same compiled function (no extra compilation).
+            B = can.A[:, np.asarray(state.basis)]
+            state = _solve_jit(
+                *args, state.vstat, state.basis, opts=opts,
+                Binv0=jnp.asarray(np.linalg.inv(B)),
+            )
+        status = int(state.status)
+    _emit_record("cold_solve", can, state, status, t.wall_s, opts)
     _raise_for_status(status)
     handle = EngineHandle(can, state, problem, opts)
     return api.Solution(handle, problem)
+
+
+def _emit_record(event, can, state, status, wall_s, opts, engine="simplex"):
+    if not records.enabled():
+        return
+    records.emit(records.SolveRecord(
+        event=event,
+        engine=engine,
+        status=Status(status).name,
+        rows=can.m,
+        cols=can.nv,
+        padded_rows=can.M,
+        padded_cols=can.N,
+        iterations=int(state.niter),
+        objective=(
+            float(can.obj_sign * float(state.obj))
+            if status == Status.OPTIMAL and hasattr(state, "obj")
+            else None
+        ),
+        wall_s=wall_s,
+        backend=jax.default_backend(),
+        dtype=opts.dtype,
+    ))

@@ -36,7 +36,7 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
 
     def step(state: SimplexState) -> SimplexState:
         (basis, vstat, xB, d, Binv, obj, niter, status, noimprove, best,
-         _weights) = state
+         _weights, _phase) = state
         loB = jnp.take(lo, basis)
         hiB = jnp.take(hi, basis)
         bland = noimprove >= opts.bland_after
@@ -128,11 +128,12 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
         )
 
         def refac(s3: SimplexState) -> SimplexState:
-            Binv3, xB3, d3, obj3 = refactorize(
-                A, b, c, lo, hi, s3.basis, s3.vstat,
+            Binv3, xB3, d3, obj3, ok = refactorize(
+                A, b, c, lo, hi, s3.basis, s3.vstat, s3.Binv,
                 newton_iters=opts.newton_refine_iters,
             )
-            return s3._replace(Binv=Binv3, xB=xB3, d=d3, obj=obj3)
+            status3 = jnp.where(ok, s3.status, jnp.int32(Status.NUMERICAL))
+            return s3._replace(Binv=Binv3, xB=xB3, d=d3, obj=obj3, status=status3)
 
         s2 = lax.cond(do_refac, refac, lambda s3: s3, s2)
         return s2._replace(niter=niter2, noimprove=noimp2, best=best2)
@@ -156,20 +157,24 @@ def run_dual(A, b, c, lo, hi, opts: SolverOptions, state: SimplexState, max_iter
 
 
 def resolve_dual(
-    A, b, c, lo, hi, basis, vstat, opts: SolverOptions
+    A, b, c, lo, hi, basis, vstat, Binv0, opts: SolverOptions
 ) -> SimplexState:
-    """Warm restart: exact refactorization from (basis, vstat), then dual simplex.
+    """Warm restart: refresh from (basis, vstat, maintained inverse), then dual
+    simplex.
 
     The entry point for `add_constraint` / `fix_var` / `add_gomory_cut`
     (SURVEY.md §4.2): those edits keep the basis dual feasible (slack of a new
     row enters basic with zero cost; bound changes don't touch reduced costs),
-    so the dual simplex restores optimality in a few pivots.
+    so the dual simplex restores optimality in a few pivots.  `Binv0` is the
+    inverse carried in the warm state (row activation updates it analytically
+    on the host — see engine/incremental.py).
     """
     M, N = A.shape
     dtype = A.dtype
     max_iter = opts.effective_max_iter(M, N)
-    Binv, xB, d, obj = refactorize(
-        A, b, c, lo, hi, basis, vstat, newton_iters=opts.newton_refine_iters
+    Binv, xB, d, obj, ok = refactorize(
+        A, b, c, lo, hi, basis, vstat, Binv0,
+        newton_iters=opts.newton_refine_iters,
     )
     state = SimplexState(
         basis=basis.astype(jnp.int32),
@@ -179,9 +184,10 @@ def resolve_dual(
         Binv=Binv,
         obj=obj,
         niter=jnp.int32(0),
-        status=jnp.int32(Status.RUNNING),
+        status=jnp.where(ok, jnp.int32(Status.RUNNING), jnp.int32(Status.NUMERICAL)),
         noimprove=jnp.int32(0),
         best=jnp.array(jnp.inf, dtype=dtype),
         weights=jnp.ones_like(d),
+        phase=jnp.int32(2),
     )
     return run_dual(A, b, c, lo, hi, opts, state, max_iter)

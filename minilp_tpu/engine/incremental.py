@@ -33,6 +33,7 @@ import numpy as np
 from .. import api
 from ..canonical import CanonicalLP, canonicalize, slack_bounds
 from ..status import Status, VarStat
+from ..utils import records
 from . import driver as _driver
 from .dual import resolve_dual
 from .primal import solve_canonical
@@ -80,35 +81,66 @@ def _ensure_row_capacity(handle) -> None:
     basis_new[:M_old] = basis_old  # slack indices unchanged by the layout
     grown.vstat0 = vstat_new
     grown.basis0 = basis_new
+    # Extend the maintained inverse: new padded rows/cols are an exact identity
+    # block (their fixed slacks are basic in all-zero rows).
+    Binv_old = np.asarray(handle.state.Binv)
+    Binv_new = np.eye(grown.M, dtype=Binv_old.dtype)
+    Binv_new[:M_old, :M_old] = Binv_old
     handle.can = grown
     handle.state = handle.state._replace(
         basis=jnp.asarray(basis_new.astype(np.int32)),
         vstat=jnp.asarray(vstat_new.astype(np.int8)),
+        Binv=jnp.asarray(Binv_new),
     )
+
+
+def _exact_host_inverse(can, basis) -> jnp.ndarray:
+    """Host-side exact inverse of the current basis (numpy f64 LU) — the
+    fallback seed when the device-side Newton refresh reports divergence."""
+    B = can.A[:, np.asarray(basis)]
+    return jnp.asarray(np.linalg.inv(B))
 
 
 def _run_dual_resolve(handle) -> None:
     can = handle.can
-    state = _resolve_dual_jit(
-        jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
-        jnp.asarray(can.lo), jnp.asarray(can.hi),
-        handle.state.basis, handle.state.vstat,
-        opts=handle.opts,
-    )
-    _driver._raise_for_status(int(state.status))
+
+    def run(Binv0):
+        return _resolve_dual_jit(
+            jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+            jnp.asarray(can.lo), jnp.asarray(can.hi),
+            handle.state.basis, handle.state.vstat, Binv0,
+            opts=handle.opts,
+        )
+
+    with records.timed() as t:
+        state = run(handle.state.Binv)
+        if int(state.status) == int(Status.NUMERICAL):
+            state = run(_exact_host_inverse(can, handle.state.basis))
+        status = int(state.status)
+    _driver._emit_record("dual_resolve", can, state, status, t.wall_s, handle.opts)
+    _driver._raise_for_status(status)
     handle.state = state
     handle._x_cache = None
 
 
 def _run_primal_resolve(handle) -> None:
     can = handle.can
-    state = _resolve_primal_jit(
-        jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
-        jnp.asarray(can.lo), jnp.asarray(can.hi),
-        handle.state.vstat, handle.state.basis,
-        opts=handle.opts,
-    )
-    _driver._raise_for_status(int(state.status))
+
+    def run(Binv0):
+        return _resolve_primal_jit(
+            jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+            jnp.asarray(can.lo), jnp.asarray(can.hi),
+            handle.state.vstat, handle.state.basis,
+            opts=handle.opts, Binv0=Binv0,
+        )
+
+    with records.timed() as t:
+        state = run(handle.state.Binv)
+        if int(state.status) == int(Status.NUMERICAL):
+            state = run(_exact_host_inverse(can, handle.state.basis))
+        status = int(state.status)
+    _driver._emit_record("primal_resolve", can, state, status, t.wall_s, handle.opts)
+    _driver._raise_for_status(status)
     handle.state = state
     handle._x_cache = None
 
@@ -127,7 +159,21 @@ def _append_row(handle, coeffs_structural: np.ndarray, op, rhs: float) -> None:
     can.row_ops.append(op)
     can.m = i + 1
     # The row's slack is already basic (vstat BASIC, basis[i] == sc) from the
-    # padding construction — nothing to patch in the state.
+    # padding construction.  The basis matrix gains the new row's coefficients
+    # on the existing basic columns; its inverse extends analytically:
+    #   [[B, 0], [vᵀ, 1]]⁻¹ = [[B⁻¹, 0], [−vᵀB⁻¹, 1]]
+    # i.e. row i of the maintained inverse becomes e_i − vᵀ·Binv with v the new
+    # row's coefficients on the current basic variables (own slack excluded).
+    # This keeps the warm inverse exact so the device-side Newton refresh
+    # starts inside its basin (SURVEY.md §4.2 basis patch).
+    basis = np.asarray(handle.state.basis)
+    v = can.A[i][basis].copy()
+    v[i] = 0.0  # basis[i] is the row's own slack (coefficient 1 handled by e_i)
+    Binv = np.asarray(handle.state.Binv).copy()
+    row = -(v @ Binv)
+    row[i] += 1.0
+    Binv[i, :] = row
+    handle.state = handle.state._replace(Binv=jnp.asarray(Binv))
 
 
 def add_constraint(handle, terms: List[Tuple[int, float]], op, rhs: float):

@@ -36,3 +36,4 @@ class SimplexState(NamedTuple):
     noimprove: jnp.ndarray  # () int32 — iterations since last progress (anti-cycling)
     best: jnp.ndarray    # ()  f      — best progress metric seen (phase-dependent)
     weights: jnp.ndarray  # (N,) f    — Devex reference weights γ (pricing)
+    phase: jnp.ndarray   # () int32  — 1 (feasibility) or 2 (optimality)

@@ -1,0 +1,56 @@
+"""Options surface: dtype modes, engine selection, pricing rules, max_iter."""
+
+import numpy as np
+import pytest
+
+from minilp_tpu import ComparisonOp, OptimizationDirection, Problem, SolverFailure
+from minilp_tpu.options import SolverOptions
+
+from .oracle import random_problem, solve_with_oracle
+
+
+def _doc_problem(opts):
+    prob = Problem(OptimizationDirection.Maximize, options=opts)
+    x = prob.add_var(1.0, (0.0, None))
+    y = prob.add_var(2.0, (0.0, 3.0))
+    prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
+    return prob
+
+
+def test_float32_mode():
+    # f32 working precision: looser tolerances, same answer on small LPs.
+    opts = SolverOptions(dtype="float32", feas_tol=1e-5, opt_tol=1e-5, pivot_tol=1e-6)
+    sol = _doc_problem(opts).solve()
+    assert abs(sol.objective() - 7.0) <= 1e-4
+
+    rng = np.random.default_rng(11)
+    prob = random_problem(rng, 10, 8)
+    prob.options = opts
+    outcome, obj, _ = solve_with_oracle(prob)
+    if outcome == "optimal":
+        sol = prob.solve()
+        assert abs(sol.objective() - obj) <= 1e-3 * (1 + abs(obj))
+
+
+def test_max_iter_failure():
+    opts = SolverOptions(max_iter=1)
+    rng = np.random.default_rng(3)
+    prob = random_problem(rng, 12, 10)
+    prob.options = opts
+    outcome, _, _ = solve_with_oracle(prob)
+    if outcome != "optimal":
+        pytest.skip("needs an optimal instance")
+    with pytest.raises(SolverFailure, match="MAX_ITER"):
+        prob.solve()
+
+
+def test_unknown_engine_rejected():
+    prob = _doc_problem(SolverOptions(engine="quantum"))
+    with pytest.raises(ValueError, match="unknown engine"):
+        prob.solve()
+
+
+def test_options_hashable_for_jit():
+    assert hash(SolverOptions()) == hash(SolverOptions())
+    assert SolverOptions() == SolverOptions()
+    assert hash(SolverOptions(max_iter=7)) != hash(SolverOptions())

@@ -25,3 +25,10 @@ if not os.environ.get("MINILP_TPU_TEST_TPU"):
     # The axon sitecustomize pins JAX_PLATFORMS=axon before we run; the config
     # update (unlike the env var) reliably selects CPU.
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--run-slow", action="store_true", default=False,
+        help="run Netlib-scale slow tests",
+    )

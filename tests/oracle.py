@@ -94,8 +94,10 @@ def random_problem(
         if u < frac_free:
             bounds = (None, None)
         elif u < frac_free + frac_boxed:
-            lo = x0[j] - rng.random() * 3.0
-            bounds = (float(lo), float(lo + rng.random() * 6.0))
+            bounds = (
+                float(x0[j] - rng.random() * 3.0),
+                float(x0[j] + rng.random() * 3.0),
+            )
         elif u < frac_free + frac_boxed + frac_fixed:
             bounds = (float(x0[j]), float(x0[j]))
         else:

@@ -35,16 +35,19 @@ def main() -> None:
     BATCH, M, NV = 1024, 24, 32
     opts = SolverOptions(max_iter=2000)
 
-    key = jax.random.PRNGKey(42)
-    args = batched.make_random_batch(key, batch=BATCH, m=M, nv=NV)
-
-    # warmup/compile
-    state = batched.solve_batch(*args, opts=opts)
+    # warmup/compile on one batch, then time on FRESH batches (new PRNG key per
+    # run): honest timing, and it sidesteps re-execution-on-identical-args
+    # quirks observed in the TPU runtime.
+    warm = batched.make_random_batch(jax.random.PRNGKey(0), batch=BATCH, m=M, nv=NV)
+    state = batched.solve_batch(*warm, opts=opts)
     jax.block_until_ready(state.obj)
 
-    # timed runs (re-solve the same batch; solver state is recomputed fully)
     times = []
-    for _ in range(3):
+    for k in range(1, 4):
+        args = batched.make_random_batch(
+            jax.random.PRNGKey(k), batch=BATCH, m=M, nv=NV
+        )
+        jax.block_until_ready(args)
         t0 = time.perf_counter()
         state = batched.solve_batch(*args, opts=opts)
         jax.block_until_ready(state.obj)

@@ -32,7 +32,13 @@ Bland fallback only in phase 1, no free structural variables.
 from __future__ import annotations
 
 import functools
+import sys
 from typing import NamedTuple
+
+# Mosaic lowering of the fused loop body recurses deeply; the default 1000
+# frames is not enough on the TPU backend.
+if sys.getrecursionlimit() < 10_000:
+    sys.setrecursionlimit(10_000)
 
 import jax
 import jax.numpy as jnp
@@ -74,10 +80,23 @@ def _simplex_kernel(
     hi = hi_ref[...]          # (1, n)
     b = b_ref[...]            # (1, m)
 
+    ZERO = jnp.float32(0.0)
+    ONE = jnp.float32(1.0)
     col_ids = lax.broadcasted_iota(jnp.int32, (1, n), 1)
     row_ids = lax.broadcasted_iota(jnp.int32, (1, m), 1)
     eye_m = (lax.broadcasted_iota(jnp.int32, (m, m), 0)
              == lax.broadcasted_iota(jnp.int32, (m, m), 1)).astype(F32)
+
+    def sel_col(vec, q):
+        """vec[0, q] without dynamic_slice (unsupported in Mosaic): masked sum."""
+        if vec.dtype == jnp.int32:
+            return jnp.sum(jnp.where(col_ids == q, vec, jnp.int32(0)))
+        return jnp.sum(jnp.where(col_ids == q, vec, ZERO))
+
+    def sel_row(vec, r):
+        if vec.dtype == jnp.int32:
+            return jnp.sum(jnp.where(row_ids == r, vec, jnp.int32(0)))
+        return jnp.sum(jnp.where(row_ids == r, vec, ZERO))
 
     # ---- initial state: slack basis (last m columns), Binv = I --------------
     slack0 = n - m
@@ -93,7 +112,7 @@ def _simplex_kernel(
     cB[...] = c[:, slack0:]
 
     def nonbasic_x(vstat):
-        x = jnp.where(vstat == VarStat.AT_LOWER, lo, 0.0)
+        x = jnp.where(vstat == VarStat.AT_LOWER, lo, ZERO)
         x = jnp.where(vstat == VarStat.AT_UPPER, hi, x)
         x = jnp.where(vstat == VarStat.FIXED, lo, x)
         return x  # (1, n)
@@ -106,7 +125,7 @@ def _simplex_kernel(
         xB[...] = (Binv[...] @ rhs_eff.T).T              # (1, m)
         y = cB[...] @ Binv[...]                          # (1, m)
         d_new = c - y @ A                                # (1, n)
-        d[...] = jnp.where(vstat == VarStat.BASIC, 0.0, d_new)
+        d[...] = jnp.where(vstat == VarStat.BASIC, ZERO, d_new)
 
     recompute_into_refs()
 
@@ -124,10 +143,12 @@ def _simplex_kernel(
         hiBv = hiB[...]
         below_pre = xB_pre < loBv - feas_tol
         above_pre = xB_pre > hiBv + feas_tol
-        feasible = ~jnp.any(below_pre | above_pre)
+        # NB: jnp.any → scalar lowers through an f64 reduce under x64 in
+        # Mosaic; use an f32 sum instead.
+        feasible = jnp.sum((below_pre | above_pre).astype(F32)) == jnp.float32(0.0)
         transition = (phase == 1) & feasible
-        phase = jnp.where(transition, 2, phase)
-        do_refresh = transition | ((niter > 0) & (niter % refactor_period == 0))
+        phase = jnp.where(transition, jnp.int32(2), phase)
+        do_refresh = transition | ((niter > jnp.int32(0)) & (niter % jnp.int32(refactor_period) == jnp.int32(0)))
 
         @pl.when(do_refresh)
         def _():
@@ -147,15 +168,17 @@ def _simplex_kernel(
         xBv = xB[...]
         below = xBv < loBv - feas_tol
         above = xBv > hiBv + feas_tol
-        sigma = jnp.where(below, -1.0, jnp.where(above, 1.0, 0.0)).astype(F32)
-        viol = jnp.maximum(loBv - xBv, 0.0) + jnp.maximum(xBv - hiBv, 0.0)
+        # literal-only selects default to f64 under x64 — keep constants f32
+        ones_m = jnp.ones_like(xBv)
+        sigma = jnp.where(below, -ones_m, jnp.where(above, ones_m, ZERO * ones_m))
+        viol = jnp.maximum(loBv - xBv, ZERO) + jnp.maximum(xBv - hiBv, ZERO)
         infeas = jnp.sum(viol)
         p1 = phase == 1
 
         # phase-1 composite reduced costs (cheap in VMEM; branchless select)
         y1 = sigma @ Binv[...]                            # (1, m)
         d1 = -(y1 @ A)                                    # (1, n)
-        d1 = jnp.where(vstat == VarStat.BASIC, 0.0, d1)
+        d1 = jnp.where(vstat == VarStat.BASIC, ZERO, d1)
         dcur = jnp.where(p1, d1, d[...])
 
         # ---- pricing (Dantzig; Bland by stall) -------------------------------
@@ -163,13 +186,14 @@ def _simplex_kernel(
         can_up = (vstat == VarStat.AT_LOWER) | (vstat == VarStat.FREE)
         can_dn = (vstat == VarStat.AT_UPPER) | (vstat == VarStat.FREE)
         elig = (can_up & (dcur < -opt_tol)) | (can_dn & (dcur > opt_tol))
-        score = jnp.where(elig, dcur * dcur, NEG_INF)
-        q_d = jnp.argmax(score[0, :]).astype(jnp.int32)
-        q_b = jnp.min(jnp.where(elig, col_ids, n)).astype(jnp.int32)
+        neg_inf = jnp.float32(NEG_INF)
+        score = jnp.where(elig, dcur * dcur, neg_inf)
+        q_d = lax.argmax(score[0, :], 0, jnp.int32)  # index_dtype must be i32 in Mosaic
+        q_b = jnp.min(jnp.where(elig, col_ids, jnp.int32(n)))
         q = jnp.where(bland, q_b, q_d)
-        found = jnp.any(elig)
-        dq = dcur[0, q]
-        s = jnp.where(dq < 0.0, jnp.float32(1.0), jnp.float32(-1.0))
+        found = jnp.sum(elig.astype(F32)) > jnp.float32(0.0)
+        dq = sel_col(dcur, q)
+        s = jnp.where(dq < ZERO, jnp.float32(1.0), jnp.float32(-1.0))
 
         # ---- FTRAN: w = Binv @ A[:,q] (one-hot matvecs, MXU-shaped) ----------
         onehot_q = (col_ids == q).astype(F32)             # (1, n)
@@ -184,36 +208,40 @@ def _simplex_kernel(
         dn_tgt = jnp.where(above, hiBv, loBv)
         up_ok = ~above
         dn_ok = ~below
-        tgt = jnp.where(up, up_tgt, jnp.where(dn, dn_tgt, 0.0))
+        tgt = jnp.where(up, up_tgt, jnp.where(dn, dn_tgt, ZERO))
         blockable = ((up & up_ok) | (dn & dn_ok)) & jnp.isfinite(tgt)
         ratio = jnp.where(
-            blockable, (tgt - xBv) / jnp.where(up | dn, delta, 1.0),
+            blockable, (tgt - xBv) / jnp.where(up | dn, delta, ONE),
             jnp.float32(jnp.inf),
         )
-        ratio = jnp.maximum(ratio, 0.0)
+        ratio = jnp.maximum(ratio, ZERO)
         t_rows = jnp.min(ratio)
-        tie = ratio <= t_rows * 1.0001 + 1e-6
-        r = jnp.argmax(jnp.where(tie, jnp.abs(w), NEG_INF)[0, :]).astype(jnp.int32)
-        rng_q = hi[0, q] - lo[0, q]
+        tie = ratio <= t_rows * jnp.float32(1.0001) + jnp.float32(1e-6)
+        r = lax.argmax(jnp.where(tie, jnp.abs(w), neg_inf)[0, :], 0, jnp.int32)
+        lo_q = sel_col(lo, q)
+        hi_q = sel_col(hi, q)
+        rng_q = hi_q - lo_q
         flip = rng_q <= t_rows
         unbounded = ~jnp.isfinite(jnp.minimum(t_rows, rng_q))
-        t = jnp.where(flip, rng_q, ratio[0, r])
+        t = jnp.where(flip, rng_q, sel_row(ratio, r))
 
         do_pivot = found & ~flip & ~unbounded
         do_flip = found & flip & ~unbounded
 
         # ---- entering/leaving bookkeeping (scalars + one-hot writes) ---------
-        vq = vstat[0, q]
+        vq = sel_col(vstat, q)
         enter_base = jnp.where(
-            (vq == VarStat.AT_LOWER) | (vq == VarStat.FIXED), lo[0, q],
-            jnp.where(vq == VarStat.AT_UPPER, hi[0, q], 0.0),
+            (vq == VarStat.AT_LOWER) | (vq == VarStat.FIXED), lo_q,
+            jnp.where(vq == VarStat.AT_UPPER, hi_q, ZERO),
         )
-        lv = basis[0, r]
-        lv_fixed = loBv[0, r] == hiBv[0, r]
-        tgt_r = tgt[0, r]
+        lv = sel_row(basis, r)
+        loB_r = sel_row(loBv, r)
+        hiB_r = sel_row(hiBv, r)
+        lv_fixed = loB_r == hiB_r
+        tgt_r = sel_row(tgt, r)
         lstat = jnp.where(
             lv_fixed, jnp.int32(VarStat.FIXED),
-            jnp.where(tgt_r == hiBv[0, r], jnp.int32(VarStat.AT_UPPER),
+            jnp.where(tgt_r == hiB_r, jnp.int32(VarStat.AT_UPPER),
                       jnp.int32(VarStat.AT_LOWER)),
         )
 
@@ -228,7 +256,7 @@ def _simplex_kernel(
 
         # pivot: PFI rank-1 update + maintained gathered-state updates
         onehot_r = (row_ids == r).astype(F32)             # (1, m)
-        wr = w[0, r]
+        wr = sel_row(w, r)
         pr = (onehot_r @ Binv[...]) / wr                  # old row r / wr
         Binv_piv = Binv[...] - (w - onehot_r).T @ pr      # rows −w_i·pr; row r → pr
         x_enter = enter_base + s * t
@@ -236,16 +264,16 @@ def _simplex_kernel(
         basis_piv = jnp.where(row_ids == r, q, basis)
         vstat_piv = jnp.where(col_ids == lv, lstat, vstat)
         vstat_piv = jnp.where(col_ids == q, jnp.int32(VarStat.BASIC), vstat_piv)
-        loB_piv = jnp.where(row_ids == r, lo[0, q], loBv)
-        hiB_piv = jnp.where(row_ids == r, hi[0, q], hiBv)
-        cB_piv = jnp.where(row_ids == r, c[0, q], cB[...])
+        loB_piv = jnp.where(row_ids == r, lo_q, loBv)
+        hiB_piv = jnp.where(row_ids == r, hi_q, hiBv)
+        cB_piv = jnp.where(row_ids == r, sel_col(c, q), cB[...])
         # phase-2 incremental reduced costs (pivot row α = wr·(pr·A))
         alpha = (pr @ A) * wr                             # (1, n) = Binv[r]·A
         rd = dq / wr
         d_piv = d[...] - rd * alpha
-        d_piv = jnp.where(col_ids == q, 0.0, d_piv)
+        d_piv = jnp.where(col_ids == q, ZERO, d_piv)
         d_piv = jnp.where(col_ids == lv, -rd, d_piv)
-        d_piv = jnp.where(vstat_piv == VarStat.BASIC, 0.0, d_piv)
+        d_piv = jnp.where(vstat_piv == VarStat.BASIC, ZERO, d_piv)
 
         # ---- select + write back --------------------------------------------
         Binv[...] = jnp.where(do_pivot, Binv_piv, Binv[...])
@@ -271,11 +299,13 @@ def _simplex_kernel(
             jnp.where(p1, jnp.int32(Status.INFEASIBLE),
                       jnp.int32(Status.OPTIMAL)),
         )
-        niter = niter + jnp.where(found, 1, 0)
+        niter = niter + jnp.where(found, jnp.int32(1), jnp.int32(0))
 
         # ---- phase-1 stall counter ------------------------------------------
-        improved = infeas < best - 1e-6
-        noimp = jnp.where(p1, jnp.where(improved, 0, noimp + 1), 0)
+        improved = infeas < best - jnp.float32(1e-6)
+        noimp = jnp.where(
+            p1, jnp.where(improved, jnp.int32(0), noimp + 1), jnp.int32(0)
+        )
         best = jnp.where(p1, jnp.minimum(best, infeas), best)
 
         return (status, niter, phase, noimp, best)
@@ -288,8 +318,9 @@ def _simplex_kernel(
     status = jnp.where(
         status == Status.RUNNING, jnp.int32(Status.MAX_ITER), status
     )
-    status_out[0, 0] = status
-    niter_out[0, 0] = niter
+    # Mosaic cannot store bare scalars to VMEM; store (1,1) blocks.
+    status_out[...] = jnp.reshape(status, (1, 1))
+    niter_out[...] = jnp.reshape(niter, (1, 1))
 
 
 def solve_batch_pallas(
@@ -322,7 +353,28 @@ def solve_batch_pallas(
     vec_spec = lambda cols: pl.BlockSpec(
         (1, 1, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
-    out = pl.pallas_call(
+    # Trace the kernel with x64 disabled: under x64, stray python literals and
+    # argmax/iota defaults produce f64/i64 intermediates that Mosaic either
+    # rejects ("64-bit types are not supported") or loops on while lowering.
+    with jax.enable_x64(False):
+        out = _pallas_solve(kern, B, m, n, vec_spec, interpret)(
+            A32, b32[:, None, :], c32[:, None, :],
+            lo32[:, None, :], hi32[:, None, :],
+        )
+    basis = out[0][:, 0, :]
+    vstat = out[1][:, 0, :]
+    status = out[2][:, 0, 0]
+    niter = out[3][:, 0, 0]
+
+    obj, verified = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
+    return PallasBatchResult(
+        basis=basis, vstat=vstat, status=status, niter=niter,
+        obj=obj, verified=verified,
+    )
+
+
+def _pallas_solve(kern, B, m, n, vec_spec, interpret):
+    return pl.pallas_call(
         lambda A_ref, b_ref, c_ref, lo_ref, hi_ref, bo, vo, so, no, *scr: kern(
             A_ref.at[0], b_ref.at[0], c_ref.at[0], lo_ref.at[0], hi_ref.at[0],
             bo.at[0], vo.at[0], so.at[0], no.at[0], *scr,
@@ -353,59 +405,58 @@ def solve_batch_pallas(
             pltpu.VMEM((1, m), F32),   # cB
         ],
         interpret=interpret,
-    )(
-        A32,
-        b32[:, None, :], c32[:, None, :], lo32[:, None, :], hi32[:, None, :],
-    )
-    basis = out[0][:, 0, :]
-    vstat = out[1][:, 0, :]
-    status = out[2][:, 0, 0]
-    niter = out[3][:, 0, 0]
-
-    obj, verified = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
-    return PallasBatchResult(
-        basis=basis, vstat=vstat, status=status, niter=niter,
-        obj=obj, verified=verified,
     )
 
 
-@jax.jit
 def _verify_f64(A, b, c, lo, hi, basis, vstat, status):
     """Exact f64 vertex + optimality certificate from the f32 bases.
 
-    The basis is combinatorial: recompute x_B = B⁻¹(b − N·x_N) and reduced
-    costs in f64 (f32 inverse seed + Newton–Schulz, TPU-compilable) and check
-    primal + dual feasibility at 1e-7.
+    Runs on the HOST in numpy: the basis is combinatorial, so the exact vertex
+    is one batched f64 LU solve — a few ms for thousands of small LPs, with
+    zero device compile cost (the TPU backend's f64 linear algebra neither
+    compiles quickly nor, at some shapes, correctly).
     """
-    f64 = jnp.float64
+    import numpy as np
 
-    def one(Ai, bi, ci, loi, hii, bs, vs, st):
-        Ai = Ai.astype(f64)
-        Bmat = jnp.take(Ai, bs, axis=1)
-        X = jnp.linalg.inv(Bmat.astype(jnp.float32)).astype(f64)
-        eye = jnp.eye(Bmat.shape[0], dtype=f64)
-        for _ in range(3):
-            X = X + X @ (eye - Bmat @ X)
-        xN = jnp.where(vs == VarStat.AT_LOWER, loi, 0.0)
-        xN = jnp.where(vs == VarStat.AT_UPPER, hii, xN)
-        xN = jnp.where(vs == VarStat.FIXED, loi, xN).astype(f64)
-        xB = X @ (bi.astype(f64) - Ai @ xN)
-        cB = jnp.take(ci.astype(f64), bs)
-        y = cB @ X
-        d = ci.astype(f64) - y @ Ai
-        loB = jnp.take(loi, bs).astype(f64)
-        hiB = jnp.take(hii, bs).astype(f64)
-        pfeas = jnp.all((xB >= loB - 1e-7) & (xB <= hiB + 1e-7))
-        at_lo = vs == VarStat.AT_LOWER
-        at_hi = vs == VarStat.AT_UPPER
-        free = vs == VarStat.FREE
-        dfeas = jnp.all(
-            jnp.where(at_lo, d >= -1e-7, True)
-            & jnp.where(at_hi, d <= 1e-7, True)
-            & jnp.where(free, jnp.abs(d) <= 1e-7, True)
-        )
-        obj = cB @ xB + ci.astype(f64) @ xN
-        ok = pfeas & dfeas & (st == Status.OPTIMAL)
-        return obj, ok
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+    basis = np.asarray(basis)
+    vstat = np.asarray(vstat)
+    status = np.asarray(status)
+    B, m, n = A.shape
 
-    return jax.vmap(one)(A, b, c, lo, hi, basis, vstat, status)
+    Bmat = np.take_along_axis(A, basis[:, None, :].repeat(m, axis=1), axis=2)
+    xN = np.where(vstat == int(VarStat.AT_LOWER), lo, 0.0)
+    xN = np.where(vstat == int(VarStat.AT_UPPER), hi, xN)
+    xN = np.where(vstat == int(VarStat.FIXED), lo, xN)
+    xN = np.where(vstat == int(VarStat.BASIC), 0.0, xN)
+    rhs = b - np.einsum("bmn,bn->bm", A, xN)
+    try:
+        xB = np.linalg.solve(Bmat, rhs[..., None])[..., 0]
+        yT = np.linalg.solve(
+            np.swapaxes(Bmat, 1, 2),
+            np.take_along_axis(c, basis, axis=1)[..., None],
+        )[..., 0]
+        singular = np.zeros(B, dtype=bool)
+    except np.linalg.LinAlgError:
+        xB = np.zeros((B, m))
+        yT = np.zeros((B, m))
+        singular = np.ones(B, dtype=bool)
+    d = c - np.einsum("bm,bmn->bn", yT, A)
+    loB = np.take_along_axis(lo, basis, axis=1)
+    hiB = np.take_along_axis(hi, basis, axis=1)
+    pfeas = ((xB >= loB - 1e-7) & (xB <= hiB + 1e-7)).all(axis=1)
+    at_lo = vstat == int(VarStat.AT_LOWER)
+    at_hi = vstat == int(VarStat.AT_UPPER)
+    free = vstat == int(VarStat.FREE)
+    dfeas = (
+        np.where(at_lo, d >= -1e-7, True)
+        & np.where(at_hi, d <= 1e-7, True)
+        & np.where(free, np.abs(d) <= 1e-7, True)
+    ).all(axis=1)
+    obj = (np.take_along_axis(c, basis, axis=1) * xB).sum(axis=1) + (c * xN).sum(axis=1)
+    ok = pfeas & dfeas & (status == int(Status.OPTIMAL)) & ~singular
+    return jnp.asarray(obj), jnp.asarray(ok)

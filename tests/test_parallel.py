@@ -107,3 +107,13 @@ def test_pricing_tie_break_is_lowest_index(mesh8):
         mesh8, jnp.asarray(d), jnp.asarray(vstat), 1e-8
     )
     assert int(got.q) == 10
+
+
+def test_scaling_harness_smoke(mesh8):
+    # numbers are meaningless on a shared-core virtual mesh; assert structure
+    from minilp_tpu.parallel.distributed import measure_scaling
+
+    r = measure_scaling(2, batch_per_device=8, m=6, nv=8)
+    assert r["n_devices"] == 2
+    assert r["lps_per_sec_1dev"] > 0 and r["lps_per_sec_ndev"] > 0
+    assert 0 < r["efficiency"] < 4

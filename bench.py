@@ -36,7 +36,7 @@ def main() -> None:
     from minilp_tpu.parallel import batched
     from minilp_tpu.status import Status
 
-    BATCH, M, NV = 1024, 24, 32
+    BATCH, M, NV = 1024, 32, 96
 
     def make(k):
         args = batched.make_random_batch(
@@ -92,7 +92,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "batched_lp_throughput",
         "value": round(lps_per_sec, 2),
-        "unit": "certified LPs/s (1024 dense 24x56 LPs, pallas megakernel)",
+        "unit": "certified LPs/s (1024 dense 32x128 LPs, pallas megakernel)",
         "vs_baseline": round(lps_per_sec / cpu_lps_per_sec, 3),
         "baseline": "scipy-HiGHS sequential on host CPU (LPs/s)",
         "baseline_value": round(cpu_lps_per_sec, 2),

@@ -345,21 +345,18 @@ def solve_batch_pallas(
     f32 = lambda x: jnp.asarray(x, dtype=F32)
     A32, b32, c32, lo32, hi32 = map(f32, (A, b, c, lo, hi))
 
-    kern = functools.partial(
-        _simplex_kernel, m=m, n=n, max_iter=max_iter,
-        refactor_period=refactor_period, feas_tol=feas_tol,
-        opt_tol=opt_tol, pivot_tol=pivot_tol, bland_after=bland_after,
-    )
-    vec_spec = lambda cols: pl.BlockSpec(
-        (1, 1, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-    )
     # Trace the kernel with x64 disabled: under x64, stray python literals and
     # argmax/iota defaults produce f64/i64 intermediates that Mosaic either
     # rejects ("64-bit types are not supported") or loops on while lowering.
+    # The jitted wrapper makes the compiled kernel eligible for the persistent
+    # compilation cache (eager pallas_call dispatch bypasses it).
     with jax.enable_x64(False):
-        out = _pallas_solve(kern, B, m, n, vec_spec, interpret)(
+        out = simplex_kernel_call(
             A32, b32[:, None, :], c32[:, None, :],
             lo32[:, None, :], hi32[:, None, :],
+            max_iter=max_iter, refactor_period=refactor_period,
+            feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
+            bland_after=bland_after, interpret=interpret,
         )
     basis = out[0][:, 0, :]
     vstat = out[1][:, 0, :]
@@ -373,7 +370,27 @@ def solve_batch_pallas(
     )
 
 
-def _pallas_solve(kern, B, m, n, vec_spec, interpret):
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter", "refactor_period", "feas_tol", "opt_tol", "pivot_tol",
+        "bland_after", "interpret",
+    ),
+)
+def simplex_kernel_call(
+    A32, b32, c32, lo32, hi32, *,
+    max_iter, refactor_period, feas_tol, opt_tol, pivot_tol, bland_after,
+    interpret,
+):
+    B, m, n = A32.shape
+    kern = functools.partial(
+        _simplex_kernel, m=m, n=n, max_iter=max_iter,
+        refactor_period=refactor_period, feas_tol=feas_tol,
+        opt_tol=opt_tol, pivot_tol=pivot_tol, bland_after=bland_after,
+    )
+    vec_spec = lambda cols: pl.BlockSpec(
+        (1, 1, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         lambda A_ref, b_ref, c_ref, lo_ref, hi_ref, bo, vo, so, no, *scr: kern(
             A_ref.at[0], b_ref.at[0], c_ref.at[0], lo_ref.at[0], hi_ref.at[0],
@@ -405,7 +422,7 @@ def _pallas_solve(kern, B, m, n, vec_spec, interpret):
             pltpu.VMEM((1, m), F32),   # cB
         ],
         interpret=interpret,
-    )
+    )(A32, b32, c32, lo32, hi32)
 
 
 def _verify_f64(A, b, c, lo, hi, basis, vstat, status):

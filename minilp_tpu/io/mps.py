@@ -57,14 +57,30 @@ def read_mps(
     path: str,
     direction: OptimizationDirection = OptimizationDirection.Minimize,
     options: SolverOptions = DEFAULT_OPTIONS,
+    native: Optional[bool] = None,
 ) -> MpsProblem:
-    """Read an MPS file (gzipped if the name ends in .gz) into a Problem."""
+    """Read an MPS file (gzipped if the name ends in .gz) into a Problem.
+
+    `native=None` (default) uses the C++ tokenizer (native/mps_parser.cpp via
+    ctypes) when its shared library is built and the file is large enough to
+    matter, falling back to the pure-Python parser; True forces it, False
+    disables it.
+    """
     if path.endswith(".gz"):
         with gzip.open(path, "rt") as f:
             text = f.read()
     else:
         with open(path, "rt") as f:
             text = f.read()
+    if native is not False:
+        from . import mps_native
+
+        if mps_native.available() and (native or len(text) > 1_000_000):
+            return mps_native.parse_mps_native(
+                text, direction=direction, options=options
+            )
+        if native:
+            raise RuntimeError("native MPS parser requested but not built")
     return parse_mps(text, direction=direction, options=options)
 
 

@@ -181,3 +181,31 @@ def test_gzip_roundtrip(tmp_path):
     sol = mp.problem.solve()
     outcome, obj, _ = solve_with_oracle(mp.problem)
     assert rel_close(sol.objective(), obj)
+
+
+def test_native_parser_matches_python():
+    from minilp_tpu.io import mps_native
+
+    if not mps_native.available():
+        pytest.skip("native parser not built (run native/build.sh)")
+    for text in (SIMPLE, RANGED, OBJCONST, FREE_NEG_UP):
+        a = parse_mps(text)
+        b = mps_native.parse_mps_native(text)
+        assert a.problem._obj == b.problem._obj
+        assert a.problem._lo == b.problem._lo
+        assert a.problem._hi == b.problem._hi
+        assert a.problem._constraints == b.problem._constraints
+        assert a.obj_constant == b.obj_constant
+
+
+def test_read_mps_native_flag(tmp_path):
+    from minilp_tpu.io import mps_native
+
+    if not mps_native.available():
+        pytest.skip("native parser not built")
+    p = tmp_path / "simple.mps"
+    p.write_text(SIMPLE)
+    mp = read_mps(str(p), native=True)
+    sol = mp.problem.solve()
+    outcome, obj, _ = solve_with_oracle(mp.problem)
+    assert rel_close(sol.objective(), obj)

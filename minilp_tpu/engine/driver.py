@@ -48,6 +48,13 @@ class EngineHandle:
     `Solution` facade owns this handle, which carries everything needed for the
     incremental re-solve API: the (host) canonical arrays, the (device) state
     pytree, and the stack of original bounds for `unfix_var`.
+
+    When the working dtype is float32, the reported solution is *certified*:
+    the simplex basis is combinatorial, so the exact vertex is recomputed from
+    (basis, vstat) in host f64 (one LU solve) — the same trick the Pallas
+    megakernel uses.  f32 on-device iteration + f64 certification reaches the
+    same 1e-6-grade answers as the all-f64 engine without the TPU's emulated
+    f64 arithmetic in the hot loop.
     """
 
     def __init__(
@@ -65,13 +72,16 @@ class EngineHandle:
         #: var idx -> original (lo, hi) saved by fix_var (for unfix_var)
         self.fixed_bounds: Dict[int, Tuple[float, float]] = dict(fixed_bounds or {})
         self._x_cache: np.ndarray | None = None
+        self._exact_obj: float | None = None
+        #: populated by `certify()`: True/False after a certification attempt
+        self.certified: bool | None = None
 
     # -- accessors ---------------------------------------------------------------
     def _x_full(self) -> np.ndarray:
         if self._x_cache is None:
             vstat = np.asarray(self.state.vstat)
-            lo = self.can.lo
-            hi = self.can.hi
+            lo = self.can.lo.astype(np.float64)
+            hi = self.can.hi.astype(np.float64)
             x = np.where(vstat == int(VarStat.AT_LOWER), lo, 0.0)
             x = np.where(vstat == int(VarStat.AT_UPPER), hi, x)
             x = np.where(vstat == int(VarStat.FIXED), lo, x)
@@ -79,8 +89,51 @@ class EngineHandle:
             self._x_cache = x
         return self._x_cache
 
+    def certify(self, tol: float = 1e-7) -> bool:
+        """Recompute the vertex exactly in f64 from (basis, vstat) and check
+        primal + dual feasibility; on success the handle serves exact values."""
+        can = self.can
+        basis = np.asarray(self.state.basis)
+        vstat = np.asarray(self.state.vstat)
+        A = can.A.astype(np.float64)
+        lo = can.lo.astype(np.float64)
+        hi = can.hi.astype(np.float64)
+        c = can.c.astype(np.float64)
+        Bmat = A[:, basis]
+        xN = np.where(vstat == int(VarStat.AT_LOWER), lo, 0.0)
+        xN = np.where(vstat == int(VarStat.AT_UPPER), hi, xN)
+        xN = np.where(vstat == int(VarStat.FIXED), lo, xN)
+        xN = np.where(vstat == int(VarStat.BASIC), 0.0, xN)
+        try:
+            xB = np.linalg.solve(Bmat, can.b.astype(np.float64) - A @ xN)
+            y = np.linalg.solve(Bmat.T, c[basis])
+        except np.linalg.LinAlgError:
+            self.certified = False
+            return False
+        d = c - y @ A
+        loB, hiB = lo[basis], hi[basis]
+        pfeas = bool(((xB >= loB - tol) & (xB <= hiB + tol)).all())
+        at_lo = vstat == int(VarStat.AT_LOWER)
+        at_hi = vstat == int(VarStat.AT_UPPER)
+        free = vstat == int(VarStat.FREE)
+        dfeas = bool(
+            (np.where(at_lo, d >= -tol, True)
+             & np.where(at_hi, d <= tol, True)
+             & np.where(free, np.abs(d) <= tol, True)).all()
+        )
+        if not (pfeas and dfeas):
+            self.certified = False
+            return False
+        x = xN.copy()
+        x[basis] = xB
+        self._x_cache = x
+        self._exact_obj = float(c @ x)
+        self.certified = True
+        return True
+
     def user_objective(self) -> float:
-        return float(self.can.obj_sign * float(self.state.obj))
+        obj = self._exact_obj if self._exact_obj is not None else float(self.state.obj)
+        return float(self.can.obj_sign * obj)
 
     def var_value(self, idx: int) -> float:
         if not (0 <= idx < self.can.nv):
@@ -205,6 +258,8 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
     _emit_record("cold_solve", can, state, status, t.wall_s, opts)
     _raise_for_status(status)
     handle = EngineHandle(can, state, problem, opts)
+    if opts.dtype == "float32":
+        handle.certify()
     return api.Solution(handle, problem)
 
 

@@ -121,6 +121,10 @@ def _run_dual_resolve(handle) -> None:
     _driver._raise_for_status(status)
     handle.state = state
     handle._x_cache = None
+    handle._exact_obj = None
+    handle.certified = None
+    if handle.opts.dtype == "float32":
+        handle.certify()
 
 
 def _run_primal_resolve(handle) -> None:
@@ -143,6 +147,10 @@ def _run_primal_resolve(handle) -> None:
     _driver._raise_for_status(status)
     handle.state = state
     handle._x_cache = None
+    handle._exact_obj = None
+    handle.certified = None
+    if handle.opts.dtype == "float32":
+        handle.certify()
 
 
 def _append_row(handle, coeffs_structural: np.ndarray, op, rhs: float) -> None:

@@ -54,3 +54,24 @@ def test_options_hashable_for_jit():
     assert hash(SolverOptions()) == hash(SolverOptions())
     assert SolverOptions() == SolverOptions()
     assert hash(SolverOptions(max_iter=7)) != hash(SolverOptions())
+
+
+def test_float32_certified_mode():
+    # f32 on-device iteration + host f64 certification → 1e-9-grade answers.
+    opts = SolverOptions(dtype="float32", feas_tol=1e-5, opt_tol=1e-5, pivot_tol=1e-6)
+    rng = np.random.default_rng(21)
+    hits = 0
+    for _ in range(6):
+        prob = random_problem(rng, 12, 10)
+        prob.options = opts
+        outcome, obj, _ = solve_with_oracle(prob)
+        if outcome != "optimal":
+            continue
+        sol = prob.solve()
+        if sol._engine.certified:
+            hits += 1
+            # the certificate guarantees ε-optimality at the certification
+            # tolerance (reduced costs within 1e-7 of feasible), i.e. 1e-6-grade
+            # objectives — the north-star gate — not bit-exactness.
+            assert abs(sol.objective() - obj) <= 1e-6 * (1 + abs(obj))
+    assert hits >= 2  # certification should succeed on most instances

@@ -7,17 +7,21 @@ This is the TPU build's equivalent of `src/lib.rs` (C1 in SURVEY.md §3.1 [API])
 surface `add_constraint` / `fix_var` / `unfix_var` / `add_gomory_cut`), and the
 `Error{Infeasible,Unbounded}` type.  Rust's `Result` becomes Python exceptions.
 
-Example::
+Example (doctest — the API spec, as in the reference's lib.rs doc-tests):
 
-    from minilp_tpu import Problem, OptimizationDirection, ComparisonOp
-
-    prob = Problem(OptimizationDirection.Maximize)
-    x = prob.add_var(1.0, (0.0, None))
-    y = prob.add_var(2.0, (0.0, 3.0))
-    prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
-    sol = prob.solve()
-    assert abs(sol.objective() - 7.0) < 1e-6
-    assert abs(sol[x] - 1.0) < 1e-6
+    >>> from minilp_tpu import Problem, OptimizationDirection, ComparisonOp
+    >>> prob = Problem(OptimizationDirection.Maximize)
+    >>> x = prob.add_var(1.0, (0.0, None))
+    >>> y = prob.add_var(2.0, (0.0, 3.0))
+    >>> prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
+    >>> sol = prob.solve()
+    >>> round(sol.objective(), 6)
+    7.0
+    >>> round(sol[x], 6), round(sol[y], 6)
+    (1.0, 3.0)
+    >>> sol2 = sol.add_constraint(x, ComparisonOp.Le, 0.5)
+    >>> round(sol2.objective(), 6)
+    6.5
 """
 
 from __future__ import annotations

@@ -99,3 +99,16 @@ def test_canonicalize_var_status_classification():
     assert can.vstat0[1] == int(VarStat.AT_UPPER)
     assert can.vstat0[2] == int(VarStat.FREE)
     assert can.vstat0[3] == int(VarStat.FIXED)
+
+
+def test_module_doc_examples():
+    # The package and api module docstring examples double as the API spec
+    # (the reference's doc-tests, SURVEY.md §5 #1).
+    import doctest
+
+    import minilp_tpu
+    import minilp_tpu.api
+
+    for mod in (minilp_tpu, minilp_tpu.api):
+        results = doctest.testmod(mod, verbose=False)
+        assert results.failed == 0, mod.__name__

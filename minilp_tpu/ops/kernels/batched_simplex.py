@@ -129,15 +129,19 @@ def _simplex_kernel(
 
     recompute_into_refs()
 
-    # carry: (status, niter, phase, noimprove, best_metric)
+    # carry: (status, niter, phase, noimprove, best_metric, fresh, force_refresh)
+    # `fresh`=1 ⇔ (Binv, xB, d) were exactly recomputed since the last pivot:
+    # terminal claims (OPTIMAL/INFEASIBLE/UNBOUNDED) are only believed when the
+    # state is fresh — otherwise a refresh is forced and pricing re-runs.  This
+    # is what makes the f32 kernel's final bases pass f64 certification.
     def cond(carry):
-        status, niter, phase, noimp, best = carry
+        status, niter, phase, noimp, best, fresh, force = carry
         return (status == Status.RUNNING) & (niter < max_iter)
 
     def body(carry):
-        status, niter, phase, noimp, best = carry
+        status, niter, phase, noimp, best, fresh, force = carry
 
-        # ---- refresh decision (transition to phase 2, or periodic) ----------
+        # ---- refresh decision (transition, periodic, or exit-check) ---------
         xB_pre = xB[...]
         loBv = loB[...]
         hiBv = hiB[...]
@@ -148,7 +152,11 @@ def _simplex_kernel(
         feasible = jnp.sum((below_pre | above_pre).astype(F32)) == jnp.float32(0.0)
         transition = (phase == 1) & feasible
         phase = jnp.where(transition, jnp.int32(2), phase)
-        do_refresh = transition | ((niter > jnp.int32(0)) & (niter % jnp.int32(refactor_period) == jnp.int32(0)))
+        do_refresh = (
+            transition
+            | (force == 1)
+            | ((niter > jnp.int32(0)) & (niter % jnp.int32(refactor_period) == jnp.int32(0)))
+        )
 
         @pl.when(do_refresh)
         def _():
@@ -287,19 +295,32 @@ def _simplex_kernel(
         cB[...] = jnp.where(do_pivot, cB_piv, cB[...])
         d[...] = jnp.where(do_pivot & ~p1, d_piv, d[...])
 
-        # ---- status transitions ---------------------------------------------
+        # ---- status transitions (terminal only from a fresh state) ----------
+        fresh_now = jnp.where(do_refresh, jnp.int32(1), fresh)
+        wants_exit = (~found) | (found & unbounded)
+        believe = fresh_now == 1
         status = jnp.where(
             found,
             jnp.where(
-                unbounded,
+                unbounded & believe,
                 jnp.where(p1, jnp.int32(Status.NUMERICAL),
                           jnp.int32(Status.UNBOUNDED)),
                 status,
             ),
-            jnp.where(p1, jnp.int32(Status.INFEASIBLE),
-                      jnp.int32(Status.OPTIMAL)),
+            jnp.where(
+                believe,
+                jnp.where(p1, jnp.int32(Status.INFEASIBLE),
+                          jnp.int32(Status.OPTIMAL)),
+                status,
+            ),
         )
-        niter = niter + jnp.where(found, jnp.int32(1), jnp.int32(0))
+        force = jnp.where(
+            wants_exit & ~believe & (status == Status.RUNNING),
+            jnp.int32(1), jnp.int32(0),
+        )
+        applied = found & ~unbounded
+        fresh = jnp.where(applied, jnp.int32(0), fresh_now)
+        niter = niter + jnp.where(found & ~unbounded, jnp.int32(1), jnp.int32(0))
 
         # ---- phase-1 stall counter ------------------------------------------
         improved = infeas < best - jnp.float32(1e-6)
@@ -308,13 +329,15 @@ def _simplex_kernel(
         )
         best = jnp.where(p1, jnp.minimum(best, infeas), best)
 
-        return (status, niter, phase, noimp, best)
+        return (status, niter, phase, noimp, best, fresh, force)
 
     init = (
         jnp.int32(Status.RUNNING), jnp.int32(0), jnp.int32(1),
-        jnp.int32(0), jnp.float32(jnp.inf),
+        jnp.int32(0), jnp.float32(jnp.inf), jnp.int32(1), jnp.int32(0),
     )
-    status, niter, phase, noimp, best = lax.while_loop(cond, body, init)
+    status, niter, phase, noimp, best, _fresh, _force = lax.while_loop(
+        cond, body, init
+    )
     status = jnp.where(
         status == Status.RUNNING, jnp.int32(Status.MAX_ITER), status
     )
@@ -327,7 +350,7 @@ def solve_batch_pallas(
     A, b, c, lo, hi,
     *,
     max_iter: int = 2000,
-    refactor_period: int = 64,
+    refactor_period: int = 32,
     feas_tol: float = 1e-5,
     opt_tol: float = 1e-6,
     pivot_tol: float = 1e-6,

@@ -69,7 +69,7 @@ def _simplex_kernel(
     # outputs
     basis_out, vstat_out, status_out, niter_out,
     # scratch
-    Binv, xB, d, loB, hiB, cB,
+    Binv, xB, d, loB, hiB, cB, wts,
     *, m: int, n: int, max_iter: int, refactor_period: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
 ):
@@ -110,6 +110,7 @@ def _simplex_kernel(
     loB[...] = lo[:, slack0:]
     hiB[...] = hi[:, slack0:]
     cB[...] = c[:, slack0:]
+    wts[...] = jnp.ones_like(c)  # Devex reference weights γ
 
     def nonbasic_x(vstat):
         x = jnp.where(vstat == VarStat.AT_LOWER, lo, ZERO)
@@ -195,7 +196,10 @@ def _simplex_kernel(
         can_dn = (vstat == VarStat.AT_UPPER) | (vstat == VarStat.FREE)
         elig = (can_up & (dcur < -opt_tol)) | (can_dn & (dcur > opt_tol))
         neg_inf = jnp.float32(NEG_INF)
-        score = jnp.where(elig, dcur * dcur, neg_inf)
+        # Devex (approximate steepest-edge) scoring in phase 2; plain Dantzig
+        # in phase 1 (σ changes every iteration, weights aren't meaningful).
+        gam = jnp.where(p1, jnp.ones_like(wts[...]), wts[...])
+        score = jnp.where(elig, dcur * dcur / jnp.maximum(gam, ONE * 1e-3), neg_inf)
         q_d = lax.argmax(score[0, :], 0, jnp.int32)  # index_dtype must be i32 in Mosaic
         q_b = jnp.min(jnp.where(elig, col_ids, jnp.int32(n)))
         q = jnp.where(bland, q_b, q_d)
@@ -283,7 +287,17 @@ def _simplex_kernel(
         d_piv = jnp.where(col_ids == lv, -rd, d_piv)
         d_piv = jnp.where(vstat_piv == VarStat.BASIC, ZERO, d_piv)
 
+        # Devex reference-weight update (uses the pivot row already computed)
+        gq = jnp.maximum(sel_col(wts[...], q), ONE)
+        tcol = alpha / wr
+        w_cand = jnp.maximum(wts[...], (tcol * tcol) * gq)
+        w_cand = jnp.where(col_ids == lv,
+                           jnp.maximum(gq / (wr * wr), ONE), w_cand)
+        w_cand = jnp.where(col_ids == q, ONE, w_cand)
+        w_cand = jnp.where(gq > jnp.float32(1e6), jnp.ones_like(w_cand), w_cand)
+
         # ---- select + write back --------------------------------------------
+        wts[...] = jnp.where(do_pivot & ~p1, w_cand, wts[...])
         Binv[...] = jnp.where(do_pivot, Binv_piv, Binv[...])
         xB[...] = jnp.where(do_pivot, xB_piv, jnp.where(do_flip, xB_flip, xBv))
         basis_out[...] = jnp.where(do_pivot, basis_piv, basis)
@@ -371,9 +385,12 @@ def solve_batch_pallas(
     # Trace the kernel with x64 disabled: under x64, stray python literals and
     # argmax/iota defaults produce f64/i64 intermediates that Mosaic either
     # rejects ("64-bit types are not supported") or loops on while lowering.
-    # The jitted wrapper makes the compiled kernel eligible for the persistent
-    # compilation cache (eager pallas_call dispatch bypasses it).
-    with jax.enable_x64(False):
+    # Matmul precision must be pinned to HIGHEST: the TPU default lowers f32
+    # matmuls to single-pass bf16 on the MXU (~8 mantissa bits), which drifts
+    # the maintained inverse far enough that many final bases miss f64
+    # certification.  The jitted wrapper makes the compiled kernel eligible
+    # for the persistent compilation cache (eager dispatch bypasses it).
+    with jax.enable_x64(False), jax.default_matmul_precision("highest"):
         out = simplex_kernel_call(
             A32, b32[:, None, :], c32[:, None, :],
             lo32[:, None, :], hi32[:, None, :],
@@ -443,6 +460,7 @@ def simplex_kernel_call(
             pltpu.VMEM((1, m), F32),   # loB
             pltpu.VMEM((1, m), F32),   # hiB
             pltpu.VMEM((1, m), F32),   # cB
+            pltpu.VMEM((1, n), F32),   # Devex weights
         ],
         interpret=interpret,
     )(A32, b32, c32, lo32, hi32)

@@ -25,8 +25,9 @@ out of one f64 recompute.  `solve_batch_pallas` therefore re-derives
 f64 XLA engine for rare unverified lanes.
 
 Simplifications vs the general engine (valid for the scenario workload, which
-is generated feasible with finite lower bounds): Dantzig pricing, stall-based
-Bland fallback only in phase 1, no free structural variables.
+is generated feasible with finite lower bounds): Devex pricing in phase 2 /
+Dantzig in phase 1, stall-based Bland fallback only in phase 1, no free
+structural variables.
 """
 
 from __future__ import annotations

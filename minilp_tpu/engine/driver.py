@@ -258,8 +258,10 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
     _emit_record("cold_solve", can, state, status, t.wall_s, opts)
     _raise_for_status(status)
     handle = EngineHandle(can, state, problem, opts)
-    if opts.dtype == "float32":
-        handle.certify()
+    # Opportunistic certification for every dtype: one host f64 solve against
+    # the final basis; when it passes, exact values are served (and it guards
+    # against approximate device arithmetic — TPU f64 is emulated).
+    handle.certify()
     return api.Solution(handle, problem)
 
 

@@ -123,8 +123,7 @@ def _run_dual_resolve(handle) -> None:
     handle._x_cache = None
     handle._exact_obj = None
     handle.certified = None
-    if handle.opts.dtype == "float32":
-        handle.certify()
+    handle.certify()
 
 
 def _run_primal_resolve(handle) -> None:
@@ -149,8 +148,7 @@ def _run_primal_resolve(handle) -> None:
     handle._x_cache = None
     handle._exact_obj = None
     handle.certified = None
-    if handle.opts.dtype == "float32":
-        handle.certify()
+    handle.certify()
 
 
 def _append_row(handle, coeffs_structural: np.ndarray, op, rhs: float) -> None:

@@ -117,3 +117,28 @@ def test_scaling_harness_smoke(mesh8):
     assert r["n_devices"] == 2
     assert r["lps_per_sec_1dev"] > 0 and r["lps_per_sec_ndev"] > 0
     assert 0 < r["efficiency"] < 4
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_column_sharded_full_solve_matches_engine(mesh8, seed):
+    # The full TP solve loop (pricing + FTRAN + pivot work column-sharded)
+    # reproduces the single-device engine's pivot count, basis, and objective.
+    from minilp_tpu.engine.primal import solve_canonical
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.parallel import mesh as mesh_mod
+    from minilp_tpu.parallel.sharded_engine import solve_canonical_sharded
+
+    mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
+    opts = SolverOptions(max_iter=2000)
+    args = batched.make_random_batch(jax.random.PRNGKey(100 + seed), 1, 16, 48)
+    A, b, c, lo, hi, vstat0, basis0 = [x[0] for x in args]
+    ref = solve_canonical(A, b, c, lo, hi, vstat0, basis0, opts)
+    out = solve_canonical_sharded(mesh, A, b, c, lo, hi, vstat0, basis0, opts)
+    assert int(out["status"]) == int(ref.status)
+    assert int(out["niter"]) == int(ref.niter)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ref.basis)), np.sort(np.asarray(out["basis"]))
+    )
+    np.testing.assert_allclose(
+        float(out["obj"]), float(ref.obj), rtol=1e-9, atol=1e-9
+    )

@@ -117,18 +117,22 @@ class Variable:
 class LinearExpr:
     """A linear combination of variables (`struct LinearExpr` [API]).
 
-    Buildable from operator sugar, from ``(coeff, var)`` iterables
-    (the reference's `FromIterator` impls [API]), or incrementally via `add`.
-    Duplicate variables accumulate.
+    Buildable from operator sugar, from pair iterables in either order —
+    ``(coeff, var)`` or the reference's ``(var, coeff)`` (`FromIterator
+    <(Variable, f64)>` [API]) — or incrementally via `add`.  Duplicate
+    variables accumulate.
     """
 
     __slots__ = ("_coeffs",)
 
-    def __init__(self, terms: Optional[Iterable[Tuple[float, Variable]]] = None):
+    def __init__(self, terms=None):
         self._coeffs: Dict[int, float] = {}
         if terms is not None:
-            for coeff, var in terms:
-                self.add(coeff, var)
+            for a, b in terms:
+                if isinstance(a, Variable):
+                    self.add(float(b), a)
+                else:
+                    self.add(float(a), b)
 
     @staticmethod
     def empty() -> "LinearExpr":
@@ -243,10 +247,16 @@ class Problem:
         self._hi.append(hi)
         return v
 
-    def add_constraint(self, expr: ExprLike, op: ComparisonOp, rhs: float) -> None:
-        """Add the constraint ``expr op rhs`` (`Problem::add_constraint` [API])."""
+    def add_constraint(self, expr, op: ComparisonOp, rhs: float) -> None:
+        """Add the constraint ``expr op rhs`` (`Problem::add_constraint` [API]).
+
+        ``expr`` may be a LinearExpr, a Variable, or an iterable of pairs in
+        either ``(var, coeff)`` or ``(coeff, var)`` order (the reference
+        accepts `&[(Variable, f64)]` slices [API])."""
         if isinstance(expr, Variable):
             expr = LinearExpr.from_term(1.0, expr)
+        elif not isinstance(expr, LinearExpr):
+            expr = LinearExpr(expr)
         terms = expr.terms()
         for i, _ in terms:
             if not (0 <= i < len(self._obj)):
@@ -323,6 +333,8 @@ class Solution:
         """
         if isinstance(expr, Variable):
             expr = LinearExpr.from_term(1.0, expr)
+        elif not isinstance(expr, LinearExpr):
+            expr = LinearExpr(expr)
         return self._engine.add_constraint(self, expr.terms(), op, float(rhs))
 
     def fix_var(self, var: Variable, val: float) -> "Solution":

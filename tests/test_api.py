@@ -112,3 +112,19 @@ def test_module_doc_examples():
     for mod in (minilp_tpu, minilp_tpu.api):
         results = doctest.testmod(mod, verbose=False)
         assert results.failed == 0, mod.__name__
+
+
+def test_pair_iterables_both_orders():
+    # the reference accepts (Variable, f64) pairs; we accept both orders
+    from minilp_tpu import OptimizationDirection
+
+    prob = Problem(OptimizationDirection.Maximize)
+    x = prob.add_var(1.0, (0.0, None))
+    y = prob.add_var(2.0, (0.0, 3.0))
+    prob.add_constraint([(x, 1.0), (y, 1.0)], ComparisonOp.Le, 4.0)  # (var, coeff)
+    sol = prob.solve()
+    assert abs(sol.objective() - 7.0) < 1e-9
+    sol = sol.add_constraint([(1.0, x)], ComparisonOp.Le, 0.5)       # (coeff, var)
+    assert abs(sol.objective() - 6.5) < 1e-9
+    e = LinearExpr([(x, 2.0), (1.0, y)])
+    assert e.terms() == [(0, 2.0), (1, 1.0)]

@@ -185,14 +185,11 @@ def _simplex_kernel(
         infeas = jnp.sum(viol)
         p1 = phase == 1
 
-        # phase-1 composite reduced costs; lax.cond lowers to a taken-branch
-        # scf.if in Mosaic, so phase 2 skips the O(m·n) recompute entirely.
-        def phase1_costs():
-            y1 = sigma @ Binv[...]                        # (1, m)
-            d1 = -(y1 @ A)                                # (1, n)
-            return jnp.where(vstat == VarStat.BASIC, ZERO, d1)
-
-        dcur = lax.cond(p1, phase1_costs, lambda: d[...])
+        # phase-1 composite reduced costs (cheap in VMEM; branchless select)
+        y1 = sigma @ Binv[...]                            # (1, m)
+        d1 = -(y1 @ A)                                    # (1, n)
+        d1 = jnp.where(vstat == VarStat.BASIC, ZERO, d1)
+        dcur = jnp.where(p1, d1, d[...])
 
         # ---- pricing (Dantzig; Bland by stall) -------------------------------
         bland = noimp >= bland_after
@@ -283,29 +280,22 @@ def _simplex_kernel(
         loB_piv = jnp.where(row_ids == r, lo_q, loBv)
         hiB_piv = jnp.where(row_ids == r, hi_q, hiBv)
         cB_piv = jnp.where(row_ids == r, sel_col(c, q), cB[...])
-        # Phase-2-only work behind lax.cond (taken-branch scf.if): the O(m·n)
-        # pivot-row pass feeding the reduced-cost and Devex updates is skipped
-        # entirely during phase 1.
-        def phase2_dw():
-            alpha = (pr @ A) * wr                         # (1, n) = Binv[r]·A
-            rd = dq / wr
-            d_piv = d[...] - rd * alpha
-            d_piv = jnp.where(col_ids == q, ZERO, d_piv)
-            d_piv = jnp.where(col_ids == lv, -rd, d_piv)
-            d_piv = jnp.where(vstat_piv == VarStat.BASIC, ZERO, d_piv)
-            gq = jnp.maximum(sel_col(wts[...], q), ONE)
-            tcol = alpha / wr
-            w_cand = jnp.maximum(wts[...], (tcol * tcol) * gq)
-            w_cand = jnp.where(col_ids == lv,
-                               jnp.maximum(gq / (wr * wr), ONE), w_cand)
-            w_cand = jnp.where(col_ids == q, ONE, w_cand)
-            w_cand = jnp.where(gq > jnp.float32(1e6),
-                               jnp.ones_like(w_cand), w_cand)
-            return d_piv, w_cand
+        # phase-2 incremental reduced costs (pivot row α = wr·(pr·A))
+        alpha = (pr @ A) * wr                             # (1, n) = Binv[r]·A
+        rd = dq / wr
+        d_piv = d[...] - rd * alpha
+        d_piv = jnp.where(col_ids == q, ZERO, d_piv)
+        d_piv = jnp.where(col_ids == lv, -rd, d_piv)
+        d_piv = jnp.where(vstat_piv == VarStat.BASIC, ZERO, d_piv)
 
-        d_piv, w_cand = lax.cond(
-            p1, lambda: (d[...], wts[...]), phase2_dw
-        )
+        # Devex reference-weight update (uses the pivot row already computed)
+        gq = jnp.maximum(sel_col(wts[...], q), ONE)
+        tcol = alpha / wr
+        w_cand = jnp.maximum(wts[...], (tcol * tcol) * gq)
+        w_cand = jnp.where(col_ids == lv,
+                           jnp.maximum(gq / (wr * wr), ONE), w_cand)
+        w_cand = jnp.where(col_ids == q, ONE, w_cand)
+        w_cand = jnp.where(gq > jnp.float32(1e6), jnp.ones_like(w_cand), w_cand)
 
         # ---- select + write back --------------------------------------------
         wts[...] = jnp.where(do_pivot & ~p1, w_cand, wts[...])

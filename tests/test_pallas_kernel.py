@@ -45,3 +45,22 @@ def test_megakernel_agrees_with_xla_engine():
     np.testing.assert_allclose(
         np.asarray(res.obj), np.asarray(ref.obj), rtol=1e-9, atol=1e-9
     )
+
+
+def test_megakernel_envelope_64x256():
+    # the full "m, n <= 256" envelope of BASELINE config 3
+    from scipy.optimize import linprog
+
+    key = jax.random.PRNGKey(5)
+    A, b, c, lo, hi, _, _ = make_random_batch(key, 4, 64, 192)  # n = 256
+    res = solve_batch_pallas(A, b, c, lo, hi, interpret=True, max_iter=4000)
+    assert np.asarray(res.verified).all()
+    An, bn, cn, lon, hin = map(np.asarray, (A, b, c, lo, hi))
+    for i in range(4):
+        bounds = [
+            (lon[i, j] if np.isfinite(lon[i, j]) else None,
+             hin[i, j] if np.isfinite(hin[i, j]) else None)
+            for j in range(cn.shape[1])
+        ]
+        r = linprog(cn[i], A_eq=An[i], b_eq=bn[i], bounds=bounds, method="highs")
+        assert abs(float(res.obj[i]) - r.fun) <= 1e-8 * (1 + abs(r.fun))

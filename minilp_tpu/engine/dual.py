@@ -41,14 +41,19 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
         hiB = jnp.take(hi, basis)
         bland = noimprove >= opts.bland_after
 
-        # -- leaving row: largest bound violation --------------------------------
+        # -- leaving row: exact dual steepest edge -------------------------------
         # (±inf bounds give -inf differences which max(·,0) absorbs; avoiding an
         # isfinite mask also sidesteps an axon-TPU compiler crash.)
+        # With the explicit inverse, the true DSE reference weights are just the
+        # squared row norms ‖B⁻ᵀe_r‖² = ‖Binv[r,:]‖² — no incremental weight
+        # maintenance needed (the reference approximates this; SURVEY.md §3.2).
         viol_lo = jnp.maximum(loB - xB, 0.0)
         viol_hi = jnp.maximum(xB - hiB, 0.0)
         viol = viol_lo + viol_hi
-        r = jnp.argmax(viol).astype(jnp.int32)
-        max_viol = viol[r]
+        row_norm2 = jnp.maximum(jnp.sum(Binv * Binv, axis=1), 1e-12)
+        score = (viol * viol) / row_norm2
+        r = jnp.argmax(score).astype(jnp.int32)
+        max_viol = jnp.max(viol)
         # e = +1: x_{B_r} must increase to its lower bound; e = -1: decrease.
         e = jnp.where(viol_lo[r] > 0, 1.0, -1.0).astype(xB.dtype)
         target = jnp.where(e > 0, loB[r], hiB[r])

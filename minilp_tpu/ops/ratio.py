@@ -84,8 +84,21 @@ def ratio_test(
 
     t_rows = jnp.min(ratio)
 
-    # Leaving-row choice inside the tie window.
-    tie = ratio <= t_rows * (1.0 + tie_rel) + tie_abs
+    # Harris two-pass: pass 1 computes the maximal step under bounds relaxed by
+    # the feasibility tolerance (each blocking bound may be overshot by δ);
+    # pass 2 picks the largest |pivot| among rows whose strict ratio fits under
+    # that relaxed step.  Under degeneracy (many zero ratios) this selects a
+    # numerically strong pivot instead of an arbitrary tiny one, at the price
+    # of ≤δ transient bound violations — which the periodic exact
+    # refactorization (and phase-1's tolerance-aware ratio rule) absorb.
+    relaxed = jnp.where(
+        blockable, (tgt - xB + jnp.sign(delta) * feas_tol) / safe_delta, inf
+    )
+    t_relaxed = jnp.maximum(jnp.min(relaxed), 0.0)
+
+    # Leaving-row choice: rows admissible under the relaxed step (always
+    # includes the strict minimum), widened by the legacy tie window.
+    tie = (ratio <= t_relaxed) | (ratio <= t_rows * (1.0 + tie_rel) + tie_abs)
     neg_inf = jnp.array(-jnp.inf, dtype=dtype)
     r_stab = jnp.argmax(jnp.where(tie, jnp.abs(w), neg_inf)).astype(jnp.int32)
     big = jnp.array(jnp.iinfo(jnp.int32).max, dtype=jnp.int32)

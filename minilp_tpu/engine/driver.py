@@ -192,10 +192,21 @@ class PdhgHandle:
     add_constraint = fix_var = unfix_var = add_gomory_cut = _no_incremental
 
 
+def _maybe_presolve(problem: "api.Problem") -> "api.Problem":
+    """Apply host presolve when enabled; may raise Infeasible/Unbounded."""
+    if not problem.options.presolve:
+        return problem
+    from ..presolve import presolve_problem
+
+    reduced, _stats = presolve_problem(problem)
+    return reduced
+
+
 def _solve_problem_pdhg(problem: "api.Problem") -> "api.Solution":
     from .pdhg import solve_pdhg
 
     opts = problem.options
+    problem = _maybe_presolve(problem)
     can = canonicalize(problem, dtype=_np_dtype(opts))
     with records.timed() as t:
         pstate = solve_pdhg(
@@ -230,6 +241,8 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
         return _solve_problem_pdhg(problem)
     if opts.engine != "simplex":
         raise ValueError(f"unknown engine {opts.engine!r}")
+    user_problem = problem
+    problem = _maybe_presolve(problem)
     can = canonicalize(
         problem,
         extra_row_capacity=opts.row_capacity_slack,
@@ -262,7 +275,7 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
     # the final basis; when it passes, exact values are served (and it guards
     # against approximate device arithmetic — TPU f64 is emulated).
     handle.certify()
-    return api.Solution(handle, problem)
+    return api.Solution(handle, user_problem)
 
 
 def _emit_record(event, can, state, status, wall_s, opts, engine="simplex"):

@@ -56,6 +56,9 @@ class SolverOptions:
     newton_refine_iters: int = 3
     #: Engine: "simplex" (revised primal/dual simplex) or "pdhg" (first-order).
     engine: str = "simplex"
+    #: Host-side presolve before canonicalization (singleton/empty/redundant row
+    #: elimination + bound tightening; build-only — the reference has none).
+    presolve: bool = True
     #: Phase-2 pricing rule: "devex" (approximate steepest-edge reference
     #: weights, the reference's "Dantzig + steepest-edge" scheme — fresh
     #: weights make early iterations Dantzig-like) or "dantzig".

@@ -202,17 +202,36 @@ def _maybe_presolve(problem: "api.Problem") -> "api.Problem":
     return reduced
 
 
+def _use_sparse_pdhg(A: np.ndarray, opts: SolverOptions) -> bool:
+    if opts.pdhg_matrix == "sparse":
+        return True
+    if opts.pdhg_matrix == "dense":
+        return False
+    if opts.pdhg_matrix != "auto":
+        raise ValueError(f"unknown pdhg_matrix {opts.pdhg_matrix!r}")
+    # auto: sparse pays off when the densified matvec would waste HBM
+    # bandwidth on zeros — large instance, low density.
+    return A.size >= (1 << 16) and np.count_nonzero(A) <= 0.1 * A.size
+
+
 def _solve_problem_pdhg(problem: "api.Problem") -> "api.Solution":
-    from .pdhg import solve_pdhg
+    from .pdhg import solve_pdhg, solve_pdhg_sparse
 
     opts = problem.options
     problem = _maybe_presolve(problem)
     can = canonicalize(problem, dtype=_np_dtype(opts))
+    args = (
+        jnp.asarray(can.b), jnp.asarray(can.c),
+        jnp.asarray(can.lo), jnp.asarray(can.hi),
+    )
     with records.timed() as t:
-        pstate = solve_pdhg(
-            jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
-            jnp.asarray(can.lo), jnp.asarray(can.hi), opts=opts,
-        )
+        if _use_sparse_pdhg(can.A, opts):
+            from jax.experimental import sparse as jsparse
+
+            Ab = jsparse.BCOO.fromdense(jnp.asarray(can.A))
+            pstate = solve_pdhg_sparse(Ab, *args, opts=opts)
+        else:
+            pstate = solve_pdhg(jnp.asarray(can.A), *args, opts=opts)
         status = int(pstate.status)
     if records.enabled():
         records.emit(records.SolveRecord(

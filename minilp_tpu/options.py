@@ -78,6 +78,19 @@ class SolverOptions:
     pdhg_max_iter: int = 200_000
     pdhg_check_every: int = 64
     pdhg_restart_beta: float = 0.9
+    #: Initial primal weight ω (τ = ω/‖A‖, σ = 1/(ω‖A‖)); None → ‖c‖/‖b‖.
+    pdhg_omega: Optional[float] = None
+    #: Geometric smoothing exponent for the adaptive primal-weight update at
+    #: restarts (PDLP's θ; 0 disables adaptation).
+    pdhg_weight_theta: float = 0.5
+    #: Ruiz row/column equilibration sweeps applied before iterating.
+    pdhg_ruiz_iters: int = 10
+    #: Tolerance for the Farkas/recession-ray infeasibility certificates
+    #: (cone residuals; the certificate margin must clear 100× this).
+    pdhg_infeas_tol: float = 1e-9
+    #: Constraint-matrix storage for the PDHG path: "auto" picks sparse BCOO
+    #: matvecs when the instance is large and sparse, "dense"/"sparse" force.
+    pdhg_matrix: str = "auto"
 
     def effective_max_iter(self, m: int, n: int) -> int:
         if self.max_iter is not None:

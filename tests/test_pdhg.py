@@ -56,6 +56,84 @@ def test_pdhg_incremental_not_supported():
         sol.add_constraint(1.0 * x, ComparisonOp.Le, 3.0)
 
 
+def test_pdhg_detects_infeasible():
+    # x >= 0 (bound) but x <= -1 (row): no feasible point.  The engine must
+    # produce a Farkas certificate (status INFEASIBLE), not run to MAX_ITER.
+    from minilp_tpu import Infeasible
+
+    prob = Problem(options=PDHG_OPTS)
+    x = prob.add_var(1.0, (0.0, None))
+    prob.add_constraint(1.0 * x, ComparisonOp.Le, -1.0)
+    with pytest.raises(Infeasible):
+        prob.solve()
+
+
+def test_pdhg_detects_infeasible_system():
+    # x + y = 1 and x + y = 3 simultaneously (via two-sided rows).
+    from minilp_tpu import Infeasible
+
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-7, presolve=False)
+    prob = Problem(options=opts)
+    x = prob.add_var(1.0, (None, None))
+    y = prob.add_var(1.0, (None, None))
+    prob.add_constraint(x + y, ComparisonOp.Eq, 1.0)
+    prob.add_constraint(x + y, ComparisonOp.Eq, 3.0)
+    with pytest.raises(Infeasible):
+        prob.solve()
+
+
+def test_pdhg_detects_unbounded():
+    # maximize x with only a lower-bounding row: recession ray certificate.
+    from minilp_tpu import Unbounded
+
+    prob = Problem(OptimizationDirection.Maximize, options=PDHG_OPTS)
+    x = prob.add_var(1.0, (0.0, None))
+    prob.add_constraint(1.0 * x, ComparisonOp.Ge, 1.0)
+    with pytest.raises(Unbounded):
+        prob.solve()
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_pdhg_sparse_matches_dense(seed):
+    """BCOO-path PDHG must agree with the dense path on the same instance."""
+    from minilp_tpu.engine.pdhg import solve_pdhg, solve_pdhg_sparse
+    from jax.experimental import sparse as jsparse
+
+    rng = np.random.default_rng(4200 + seed)
+    m, nv = 10, 24
+    # sparse-ish structural block + identity slacks
+    A_s = rng.normal(size=(m, nv)) * (rng.random((m, nv)) < 0.3)
+    x0 = rng.uniform(0.2, 0.8, size=nv)
+    b = A_s @ x0 + rng.uniform(0.1, 1.0, size=m)
+    A = np.concatenate([A_s, np.eye(m)], axis=1)
+    c = np.concatenate([rng.normal(size=nv), np.zeros(m)])
+    lo = np.zeros(nv + m)
+    hi = np.concatenate([np.ones(nv), np.full(m, np.inf)])
+
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-7)
+    dense = solve_pdhg(jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+                       jnp.asarray(lo), jnp.asarray(hi), opts=opts)
+    Ab = jsparse.BCOO.fromdense(jnp.asarray(A))
+    sp = solve_pdhg_sparse(Ab, jnp.asarray(b), jnp.asarray(c),
+                           jnp.asarray(lo), jnp.asarray(hi), opts=opts)
+    assert int(dense.status) == int(Status.OPTIMAL)
+    assert int(sp.status) == int(Status.OPTIMAL)
+    obj_d = float(np.asarray(c) @ np.asarray(dense.x))
+    obj_s = float(np.asarray(c) @ np.asarray(sp.x))
+    assert abs(obj_d - obj_s) <= 1e-5 * (1.0 + abs(obj_d))
+
+
+def test_pdhg_sparse_driver_path():
+    """pdhg_matrix='sparse' end-to-end through Problem.solve."""
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-7, pdhg_matrix="sparse")
+    prob = Problem(OptimizationDirection.Maximize, options=opts)
+    x = prob.add_var(1.0, (0.0, None))
+    y = prob.add_var(2.0, (0.0, 3.0))
+    prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
+    sol = prob.solve()
+    assert rel_close(sol.objective(), 7.0)
+
+
 def test_pdhg_batched_vmap():
     # the engine is plain JAX: vmap over a batch of canonical LPs just works
     from minilp_tpu.parallel.batched import make_random_batch

@@ -253,6 +253,81 @@ def _solve_problem_pdhg(problem: "api.Problem") -> "api.Solution":
     return api.Solution(PdhgHandle(can, pstate, problem, opts), problem)
 
 
+def _megakernel_eligible(can: CanonicalLP, opts: SolverOptions) -> bool:
+    if opts.use_megakernel == "never":
+        return False
+    if opts.use_megakernel == "always":
+        return True
+    if opts.use_megakernel != "auto":
+        raise ValueError(f"unknown use_megakernel {opts.use_megakernel!r}")
+    # auto: TPU backend and the whole working set fits VMEM comfortably
+    # (~16 MB/core; A + Binv at (256, 1024) f32 is ~1.3 MB).
+    return (
+        jax.default_backend() == "tpu" and can.M <= 256 and can.N <= 1024
+    )
+
+
+def _try_megakernel_solve(
+    can: CanonicalLP, opts: SolverOptions
+) -> SimplexState | None:
+    """Solve one canonical LP through the Pallas megakernel (f32 iterate).
+
+    Returns a fully rebuilt f64 SimplexState when the discovered basis passes
+    exact f64 certification (primal + dual feasible), else None — the caller
+    falls back to the XLA engine.  This is the single-LP TPU fast path: the
+    f64 XLA graph compiles for minutes on this backend and its emulated-f64
+    arithmetic has faulted at some shapes, while the f32 kernel + host f64
+    certification reaches the same exact answers (the basis is combinatorial).
+    """
+    from ..ops.kernels.batched_simplex import solve_batch_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    try:
+        res = solve_batch_pallas(
+            can.A[None], can.b[None], can.c[None], can.lo[None], can.hi[None],
+            slack0=can.nv,
+            max_iter=opts.effective_max_iter(can.M, can.N),
+            interpret=interpret,
+        )
+    except Exception:  # lowering/backend failure → XLA engine fallback
+        return None
+    if not bool(res.verified[0]):
+        return None
+    basis = np.asarray(res.basis[0])
+    vstat = np.asarray(res.vstat[0]).astype(np.int8)
+    # exact warm state in host f64 (one LU): the handle's incremental API
+    # needs (Binv, xB, d, obj) consistent with the certified basis.
+    A = can.A.astype(np.float64)
+    Bmat = A[:, basis]
+    try:
+        Binv = np.linalg.inv(Bmat)
+    except np.linalg.LinAlgError:
+        return None
+    from ..canonical import nonbasic_values as np_nonbasic
+
+    xN = np_nonbasic(vstat, can.lo, can.hi)
+    xB = Binv @ (can.b - A @ xN)
+    y = can.c[basis] @ Binv
+    d = can.c - y @ A
+    d[vstat == int(VarStat.BASIC)] = 0.0
+    obj = float(can.c[basis] @ xB + can.c @ xN)
+    dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
+    return SimplexState(
+        basis=jnp.asarray(basis, dtype=jnp.int32),
+        vstat=jnp.asarray(vstat, dtype=jnp.int8),
+        xB=jnp.asarray(xB, dtype=dtype),
+        d=jnp.asarray(d, dtype=dtype),
+        Binv=jnp.asarray(Binv, dtype=dtype),
+        obj=jnp.asarray(obj, dtype=dtype),
+        niter=jnp.asarray(int(res.niter[0]), dtype=jnp.int32),
+        status=jnp.asarray(int(Status.OPTIMAL), dtype=jnp.int32),
+        noimprove=jnp.int32(0),
+        best=jnp.asarray(np.inf, dtype=dtype),
+        weights=jnp.ones_like(jnp.asarray(d, dtype=dtype)),
+        phase=jnp.int32(2),
+    )
+
+
 def solve_problem(problem: "api.Problem") -> "api.Solution":
     """Cold solve: `Problem::solve` equivalent (SURVEY.md §4.1)."""
     opts = problem.options
@@ -267,6 +342,16 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
         extra_row_capacity=opts.row_capacity_slack,
         dtype=_np_dtype(opts),
     )
+    if _megakernel_eligible(can, opts):
+        with records.timed() as t:
+            state = _try_megakernel_solve(can, opts)
+        if state is not None:
+            _emit_record("cold_solve_megakernel", can, state,
+                         int(Status.OPTIMAL), t.wall_s, opts)
+            handle = EngineHandle(can, state, problem, opts)
+            handle.certify()
+            return api.Solution(handle, user_problem)
+        # uncertified / non-optimal / kernel unavailable → XLA engine below
     args = (
         jnp.asarray(can.A),
         jnp.asarray(can.b),

@@ -62,6 +62,7 @@ class PallasBatchResult(NamedTuple):
     niter: jnp.ndarray    # (B,) int32
     obj: jnp.ndarray      # (B,) f64 — exact objective (f64 recompute)
     verified: jnp.ndarray  # (B,) bool — f64 optimality certificate held
+    x: jnp.ndarray        # (B, n) f64 — exact vertex (f64 recompute)
 
 
 def _simplex_kernel(
@@ -71,7 +72,7 @@ def _simplex_kernel(
     basis_out, vstat_out, status_out, niter_out,
     # scratch
     Binv, xB, d, loB, hiB, cB, wts,
-    *, m: int, n: int, max_iter: int, refactor_period: int,
+    *, m: int, n: int, slack0: int, max_iter: int, refactor_period: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
 ):
     """One LP per grid program.  Shapes: A (m,n); vectors as (1,·) rows."""
@@ -99,18 +100,26 @@ def _simplex_kernel(
             return jnp.sum(jnp.where(row_ids == r, vec, jnp.int32(0)))
         return jnp.sum(jnp.where(row_ids == r, vec, ZERO))
 
-    # ---- initial state: slack basis (last m columns), Binv = I --------------
-    slack0 = n - m
+    # ---- initial state: slack basis (columns [slack0, slack0+m)), Binv = I --
+    # The identity slack block need not be the LAST columns: the canonical
+    # form (canonical.py) places it at [nv, nv+M) with inert padding after.
     Binv[...] = eye_m
     basis_out[...] = row_ids + slack0
-    vstat0 = jnp.where(col_ids >= slack0, jnp.int32(VarStat.BASIC),
-                       jnp.int32(VarStat.AT_LOWER))
-    vstat0 = jnp.where((lo == hi) & (col_ids < slack0),
-                       jnp.int32(VarStat.FIXED), vstat0)
+    is_slack = (col_ids >= slack0) & (col_ids < slack0 + m)
+    # full initial-status logic (canonical.initial_vstat): fixed ⇒ FIXED,
+    # finite lower ⇒ AT_LOWER, else finite upper ⇒ AT_UPPER, else FREE.
+    # Inert padding columns are fixed [0,0] ⇒ FIXED ⇒ never eligible.
+    vstat0 = jnp.where(
+        jnp.isfinite(lo), jnp.int32(VarStat.AT_LOWER),
+        jnp.where(jnp.isfinite(hi), jnp.int32(VarStat.AT_UPPER),
+                  jnp.int32(VarStat.FREE)),
+    )
+    vstat0 = jnp.where(lo == hi, jnp.int32(VarStat.FIXED), vstat0)
+    vstat0 = jnp.where(is_slack, jnp.int32(VarStat.BASIC), vstat0)
     vstat_out[...] = vstat0
-    loB[...] = lo[:, slack0:]
-    hiB[...] = hi[:, slack0:]
-    cB[...] = c[:, slack0:]
+    loB[...] = lo[:, slack0:slack0 + m]
+    hiB[...] = hi[:, slack0:slack0 + m]
+    cB[...] = c[:, slack0:slack0 + m]
     wts[...] = jnp.ones_like(c)  # Devex reference weights γ
 
     def nonbasic_x(vstat):
@@ -364,6 +373,7 @@ def _simplex_kernel(
 def solve_batch_pallas(
     A, b, c, lo, hi,
     *,
+    slack0: int | None = None,
     max_iter: int = 2000,
     refactor_period: int = 32,
     feas_tol: float = 1e-5,
@@ -374,12 +384,16 @@ def solve_batch_pallas(
 ) -> PallasBatchResult:
     """Solve B small canonical LPs in one Pallas launch (module docstring).
 
-    Inputs: A (B,m,n), b (B,m), c/lo/hi (B,n) — cast to f32 in-kernel.  Slack
-    columns must be the LAST m columns with identity coefficients and form the
-    initial basis (the `make_random_batch` layout).  Returns exact f64
+    Inputs: A (B,m,n), b (B,m), c/lo/hi (B,n) — cast to f32 in-kernel.  The
+    identity slack block must occupy columns [slack0, slack0+m) and form the
+    initial basis; `slack0=None` means the last m columns (the
+    `make_random_batch` layout), while canonicalized problems pass
+    `slack0=can.nv` (canonical.py column layout).  Returns exact f64
     objectives recomputed from the discovered bases plus `verified` flags.
     """
     B, m, n = A.shape
+    if slack0 is None:
+        slack0 = n - m
     f32 = lambda x: jnp.asarray(x, dtype=F32)
     A32, b32, c32, lo32, hi32 = map(f32, (A, b, c, lo, hi))
 
@@ -395,6 +409,7 @@ def solve_batch_pallas(
         out = simplex_kernel_call(
             A32, b32[:, None, :], c32[:, None, :],
             lo32[:, None, :], hi32[:, None, :],
+            slack0=slack0,
             max_iter=max_iter, refactor_period=refactor_period,
             feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
             bland_after=bland_after, interpret=interpret,
@@ -404,28 +419,28 @@ def solve_batch_pallas(
     status = out[2][:, 0, 0]
     niter = out[3][:, 0, 0]
 
-    obj, verified = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
+    obj, verified, x = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
     return PallasBatchResult(
         basis=basis, vstat=vstat, status=status, niter=niter,
-        obj=obj, verified=verified,
+        obj=obj, verified=verified, x=x,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_iter", "refactor_period", "feas_tol", "opt_tol", "pivot_tol",
-        "bland_after", "interpret",
+        "slack0", "max_iter", "refactor_period", "feas_tol", "opt_tol",
+        "pivot_tol", "bland_after", "interpret",
     ),
 )
 def simplex_kernel_call(
     A32, b32, c32, lo32, hi32, *,
-    max_iter, refactor_period, feas_tol, opt_tol, pivot_tol, bland_after,
-    interpret,
+    slack0, max_iter, refactor_period, feas_tol, opt_tol, pivot_tol,
+    bland_after, interpret,
 ):
     B, m, n = A32.shape
     kern = functools.partial(
-        _simplex_kernel, m=m, n=n, max_iter=max_iter,
+        _simplex_kernel, m=m, n=n, slack0=slack0, max_iter=max_iter,
         refactor_period=refactor_period, feas_tol=feas_tol,
         opt_tol=opt_tol, pivot_tol=pivot_tol, bland_after=bland_after,
     )
@@ -518,4 +533,6 @@ def _verify_f64(A, b, c, lo, hi, basis, vstat, status):
     ).all(axis=1)
     obj = (np.take_along_axis(c, basis, axis=1) * xB).sum(axis=1) + (c * xN).sum(axis=1)
     ok = pfeas & dfeas & (status == int(Status.OPTIMAL)) & ~singular
-    return jnp.asarray(obj), jnp.asarray(ok)
+    x = xN.copy()
+    np.put_along_axis(x, basis, xB, axis=1)
+    return jnp.asarray(obj), jnp.asarray(ok), jnp.asarray(x)

@@ -59,6 +59,11 @@ class SolverOptions:
     #: Host-side presolve before canonicalization (singleton/empty/redundant row
     #: elimination + bound tightening; build-only — the reference has none).
     presolve: bool = True
+    #: Single-LP Pallas megakernel routing: "auto" solves small LPs through
+    #: the VMEM-resident f32 kernel when running on TPU (f64 certification on
+    #: the host; silent fallback to the XLA engine when uncertified),
+    #: "always" forces it (interpret mode off-TPU), "never" disables.
+    use_megakernel: str = "auto"
     #: Phase-2 pricing rule: "devex" (approximate steepest-edge reference
     #: weights, the reference's "Dantzig + steepest-edge" scheme — fresh
     #: weights make early iterations Dantzig-like) or "dantzig".

@@ -47,6 +47,51 @@ def test_megakernel_agrees_with_xla_engine():
     )
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_megakernel_canonical_layout(seed):
+    """Kernel on canonicalize() output (slack block at slack0=nv, inert
+    padding after): free vars, at-upper vars, Eq/Ge rows, maximize."""
+    from minilp_tpu.canonical import canonicalize
+    from .oracle import random_problem, solve_with_oracle
+
+    rng = np.random.default_rng(7100 + seed)
+    prob = random_problem(
+        rng, nv=int(rng.integers(4, 10)), m=int(rng.integers(2, 8))
+    )
+    outcome, obj, _x = solve_with_oracle(prob)
+    if outcome != "optimal":
+        pytest.skip("instance not optimal")
+    can = canonicalize(prob, dtype=np.float64)
+    res = solve_batch_pallas(
+        can.A[None], can.b[None], can.c[None], can.lo[None], can.hi[None],
+        slack0=can.nv, interpret=True, max_iter=4000,
+    )
+    if not bool(res.verified[0]):
+        pytest.skip("f32 kernel basis unverified on this instance (fallback path)")
+    got = float(can.obj_sign * float(res.obj[0]))
+    assert abs(got - obj) <= 1e-7 * (1 + abs(obj)), (got, obj)
+
+
+def test_megakernel_driver_fast_path():
+    """use_megakernel='always' end-to-end through Problem.solve (interpret on
+    CPU), including a warm incremental re-solve off the kernel's state."""
+    from minilp_tpu import (
+        ComparisonOp, OptimizationDirection, Problem,
+    )
+    from minilp_tpu.options import SolverOptions
+
+    opts = SolverOptions(use_megakernel="always")
+    prob = Problem(OptimizationDirection.Maximize, options=opts)
+    x = prob.add_var(1.0, (0.0, None))
+    y = prob.add_var(2.0, (0.0, 3.0))
+    prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
+    sol = prob.solve()
+    assert abs(sol.objective() - 7.0) <= 1e-9
+    # warm dual re-solve from the megakernel-built state
+    sol2 = sol.add_constraint(x, ComparisonOp.Le, 0.5)
+    assert abs(sol2.objective() - 6.5) <= 1e-9
+
+
 def test_megakernel_envelope_64x256():
     # the full "m, n <= 256" envelope of BASELINE config 3
     from scipy.optimize import linprog

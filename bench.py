@@ -32,8 +32,8 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import minilp_tpu  # noqa: F401  (enables x64)
-    from minilp_tpu.ops.kernels.batched_simplex import solve_batch_pallas
     from minilp_tpu.parallel import batched
+    from minilp_tpu.parallel.batched import solve_batch_certified
     from minilp_tpu.status import Status
 
     BATCH, M, NV = 1024, 32, 96
@@ -45,7 +45,9 @@ def main() -> None:
         return args[:5]  # A, b, c, lo, hi
 
     def solve(args):
-        return solve_batch_pallas(*args, max_iter=2000)
+        # every lane certified (f64 recompute; host re-solve of rare
+        # uncertified lanes is INCLUDED in the timed region)
+        return solve_batch_certified(*args, max_iter=2000)
 
     # warmup/compile on one batch, then time on FRESH batches per run.
     res = solve(make(0))

@@ -92,6 +92,26 @@ def test_megakernel_driver_fast_path():
     assert abs(sol2.objective() - 6.5) <= 1e-9
 
 
+def test_solve_batch_certified_all_lanes():
+    """solve_batch_certified returns an all-verified batch (host fallback
+    covers any lane the f32 kernel could not certify)."""
+    from minilp_tpu.parallel.batched import solve_batch_certified
+
+    key = jax.random.PRNGKey(11)
+    A, b, c, lo, hi, _, _ = make_random_batch(key, 8, 8, 16)
+    res = solve_batch_certified(A, b, c, lo, hi)
+    assert np.asarray(res.verified).all()
+    assert (np.asarray(res.status) == int(Status.OPTIMAL)).all()
+    # exact vertex consistency: A x = b and c·x = obj in f64
+    An, bn, cn = map(np.asarray, (A, b, c))
+    xn = np.asarray(res.x)
+    resid = np.abs(np.einsum("bmn,bn->bm", An, xn) - bn).max()
+    assert resid < 1e-9
+    np.testing.assert_allclose(
+        np.einsum("bn,bn->b", cn, xn), np.asarray(res.obj), rtol=1e-12, atol=1e-12
+    )
+
+
 def test_megakernel_envelope_64x256():
     # the full "m, n <= 256" envelope of BASELINE config 3
     from scipy.optimize import linprog

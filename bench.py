@@ -6,11 +6,15 @@ per chip") — how many LPs per second does one TPU chip solve to verified
 optimality, versus a state-of-the-art CPU solver (scipy/HiGHS) solving the
 same instances sequentially on the host.
 
-The device path is the Pallas simplex megakernel (one grid program per LP,
-all state VMEM-resident, f32 iteration — minilp_tpu/ops/kernels/): every
-returned objective is re-derived exactly in f64 from the discovered basis and
-certified primal+dual feasible, so the reported throughput is for *certified*
-1e-7-grade solutions, not approximate ones.
+The device path is the pack-8 Pallas simplex megakernel (8 LPs per grid
+program, all state VMEM-resident, block-diagonal basis inverses, f32
+iteration — minilp_tpu/ops/kernels/packed_simplex.py); every returned
+objective is re-derived exactly in f64 on the host from the discovered basis
+and certified primal+dual feasible, so the reported throughput is for
+*certified* 1e-7-grade solutions, not approximate ones.  Problem data is
+host-resident f64 (the realistic direction: scenarios originate on the host);
+the device sees only f32 copies, and host certification of batch k overlaps
+the device solve of batch k+1 (parallel/batched.py::solve_batches_pipelined).
 
 Prints exactly ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -32,48 +36,37 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import minilp_tpu  # noqa: F401  (enables x64)
-    from minilp_tpu.parallel import batched
-    from minilp_tpu.parallel.batched import solve_batch_certified
+    from minilp_tpu.parallel.batched import (
+        make_random_batch_host, solve_batches_pipelined,
+    )
     from minilp_tpu.status import Status
 
     BATCH, M, NV = 1024, 32, 96
+    PACK = 8
+    N_BATCHES = 4
 
-    def make(k):
-        args = batched.make_random_batch(
-            jax.random.PRNGKey(k), batch=BATCH, m=M, nv=NV
-        )
-        return args[:5]  # A, b, c, lo, hi
+    # warmup/compile on one batch, then time on FRESH batches.
+    warm = [make_random_batch_host(0, batch=BATCH, m=M, nv=NV)]
+    solve_batches_pipelined(warm, pack=PACK, max_iter=2000)
 
-    def solve(args):
-        # every lane certified (f64 recompute; host re-solve of rare
-        # uncertified lanes is INCLUDED in the timed region)
-        return solve_batch_certified(*args, max_iter=2000)
+    batches = [make_random_batch_host(1 + k, batch=BATCH, m=M, nv=NV)
+               for k in range(N_BATCHES)]
+    t0 = time.perf_counter()
+    results = solve_batches_pipelined(batches, pack=PACK, max_iter=2000)
+    dt = time.perf_counter() - t0
+    lps_per_sec = (N_BATCHES * BATCH) / dt
 
-    # warmup/compile on one batch, then time on FRESH batches per run.
-    res = solve(make(0))
-    jax.block_until_ready(res.status)
-
-    times, results = [], []
-    for k in range(1, 4):
-        args = make(k)
-        jax.block_until_ready(args)
-        t0 = time.perf_counter()
-        res = solve(args)
-        jax.block_until_ready(res.obj)  # includes the host f64 certification
-        times.append(time.perf_counter() - t0)
-        results.append((args, res))
-    dt = min(times)
-    lps_per_sec = BATCH / dt
-    args, res = results[int(np.argmin(times))]
-
-    statuses = np.asarray(res.status)
+    statuses = np.concatenate([np.asarray(r.status) for r in results])
+    verified = np.concatenate([np.asarray(r.verified) for r in results])
+    niters = np.concatenate([np.asarray(r.niter) for r in results])
     n_optimal = int((statuses == int(Status.OPTIMAL)).sum())
-    n_verified = int(np.asarray(res.verified).sum())
+    n_verified = int(verified.sum())
 
-    # CPU baseline + independent correctness guard on a sample.
+    # CPU baseline + independent correctness guard on a sample of batch 0.
     from scipy.optimize import linprog
 
-    A, b, c, lo, hi = [np.asarray(x) for x in args]
+    A, b, c, lo, hi = batches[0]
+    res0 = results[0]
     sample = min(64, BATCH)
     t0 = time.perf_counter()
     max_gap = 0.0
@@ -84,26 +77,26 @@ def main() -> None:
             for j in range(c.shape[1])
         ]
         r = linprog(c[i], A_eq=A[i], b_eq=b[i], bounds=bounds, method="highs")
-        if r.status == 0 and bool(res.verified[i]):
-            gap = abs(float(res.obj[i]) - r.fun) / (1.0 + abs(r.fun))
+        if r.status == 0 and bool(res0.verified[i]):
+            gap = abs(float(res0.obj[i]) - r.fun) / (1.0 + abs(r.fun))
             max_gap = max(max_gap, gap)
     cpu_dt = time.perf_counter() - t0
     cpu_lps_per_sec = sample / cpu_dt
 
-    mean_iters = float(np.asarray(res.niter).mean())
     print(json.dumps({
         "metric": "batched_lp_throughput",
         "value": round(lps_per_sec, 2),
-        "unit": "certified LPs/s (1024 dense 32x128 LPs, pallas megakernel)",
+        "unit": "certified LPs/s (1024-LP batches of dense 32x128, pack-8 megakernel, pipelined f64 certification)",
         "vs_baseline": round(lps_per_sec / cpu_lps_per_sec, 3),
         "baseline": "scipy-HiGHS sequential on host CPU (LPs/s)",
         "baseline_value": round(cpu_lps_per_sec, 2),
         "n_optimal": n_optimal,
         "n_verified": n_verified,
         "batch": BATCH,
+        "n_batches": N_BATCHES,
         "max_rel_gap_vs_highs": float(f"{max_gap:.3g}"),
-        "mean_simplex_iters": round(mean_iters, 1),
-        "simplex_iters_per_sec": round(float(np.asarray(res.niter).sum() / dt), 1),
+        "mean_simplex_iters": round(float(niters.mean()), 1),
+        "simplex_iters_per_sec": round(float(niters.sum() / dt), 1),
         "wall_s": round(dt, 4),
         "backend": jax.default_backend(),
     }))

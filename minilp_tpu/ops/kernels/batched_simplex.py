@@ -535,4 +535,6 @@ def _verify_f64(A, b, c, lo, hi, basis, vstat, status):
     ok = pfeas & dfeas & (status == int(Status.OPTIMAL)) & ~singular
     x = xN.copy()
     np.put_along_axis(x, basis, xB, axis=1)
-    return jnp.asarray(obj), jnp.asarray(ok), jnp.asarray(x)
+    # host numpy on purpose: these are final host-side answers — bouncing
+    # them through the device would cost two more (tunnel) transfers.
+    return obj, ok, x

@@ -94,10 +94,103 @@ def solve_batch_certified(A, b, c, lo, hi, *, slack0=None, max_iter: int = 2000)
             status[i], verified[i] = int(Status.INFEASIBLE), True
         elif r.status == 3:
             status[i], verified[i] = int(Status.UNBOUNDED), True
-    return res._replace(
-        obj=jnp.asarray(obj), x=jnp.asarray(x),
-        status=jnp.asarray(status), verified=jnp.asarray(verified),
-    )
+    # host numpy (not device arrays): these are final host-side answers
+    return res._replace(obj=obj, x=x, status=status, verified=verified)
+
+
+def solve_batches_pipelined(
+    batches,
+    *,
+    pack: int = 8,
+    slack0=None,
+    max_iter: int = 2000,
+):
+    """Solve a sequence of host-resident LP batches, overlapping device solve
+    of batch k+1 with host f64 certification of batch k.
+
+    `batches` is a list of (A, b, c, lo, hi) numpy tuples.  The device only
+    ever sees f32 copies (upload is f32 — half the tunnel bytes) and only the
+    combinatorial outputs (basis/vstat/status) come back; the f64 data stays
+    on the host where the exact certification runs.  With kernel time and
+    certify time comparable, steady-state throughput ≈ 1/max(t_kernel,
+    t_certify) instead of 1/(t_kernel + t_certify).
+    """
+    import numpy as np
+
+    from ..ops.kernels import packed_simplex as ps
+    from ..ops.kernels.batched_simplex import _verify_f64
+
+    interpret = jax.default_backend() != "tpu"
+
+    def launch(batch):
+        A, b, c, lo, hi = batch
+        B, m, n = A.shape
+        s0 = (n - m) if slack0 is None else slack0
+        P = B // pack
+        f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            out = ps.packed_kernel_call(
+                f32(A).reshape(P, pack * m, n),
+                f32(b).reshape(P, pack, m),
+                f32(c).reshape(P, pack, n),
+                f32(lo).reshape(P, pack, n),
+                f32(hi).reshape(P, pack, n),
+                pack=pack, slack0=s0, max_iter=max_iter,
+                refactor_period=32, feas_tol=1e-5, opt_tol=1e-6,
+                pivot_tol=1e-6, bland_after=200, interpret=interpret,
+            )
+        return out
+
+    def finalize(batch, out):
+        A, b, c, lo, hi = batch
+        B, m, n = A.shape
+        basis = np.asarray(out[0]).reshape(B, m)
+        vstat = np.asarray(out[1]).reshape(B, n)
+        status = np.asarray(out[2]).reshape(B)
+        niter = np.asarray(out[3]).reshape(B)
+        obj, verified, x = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
+        from ..ops.kernels.batched_simplex import PallasBatchResult
+
+        return PallasBatchResult(
+            basis=basis, vstat=vstat, status=status, niter=niter,
+            obj=obj, verified=verified, x=x,
+        )
+
+    results = []
+    prev = None
+    for batch in batches:
+        out = launch(batch)  # async dispatch
+        if prev is not None:
+            results.append(finalize(*prev))  # host work overlaps device solve
+        prev = (batch, out)
+    results.append(finalize(*prev))
+    return results
+
+
+def make_random_batch_host(
+    seed: int, batch: int, m: int, nv: int
+) -> Tuple["np.ndarray", ...]:
+    """Host (numpy, f64) twin of `make_random_batch` — same LP structure.
+
+    Generating on the host keeps the f64 problem data host-resident for the
+    exact certification step: the device only receives the f32 copies.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = nv + m
+    A_s = rng.normal(size=(batch, m, nv))
+    c_s = rng.normal(size=(batch, nv))
+    x0 = rng.uniform(0.2, 0.8, size=(batch, nv))
+    u = rng.uniform(0.1, 1.0, size=(batch, m))
+    b = np.einsum("bmn,bn->bm", A_s, x0) + u
+
+    eye = np.broadcast_to(np.eye(m), (batch, m, m))
+    A = np.concatenate([A_s, eye], axis=2)
+    c = np.concatenate([c_s, np.zeros((batch, m))], axis=1)
+    lo = np.zeros((batch, n))
+    hi = np.concatenate([np.ones((batch, nv)), np.full((batch, m), np.inf)], axis=1)
+    return A, b, c, lo, hi
 
 
 def make_random_batch(

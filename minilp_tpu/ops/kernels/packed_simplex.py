@@ -473,6 +473,11 @@ def packed_kernel_call(
             pltpu.VMEM((k, n), F32),    # d
             pltpu.VMEM((k, n), F32),    # wts
         ],
+        # larger packs hold several (km, km) temporaries live at once; the
+        # default 16 MB scoped-VMEM budget is too tight for pack ≥ 16
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(A32, b32, c32, lo32, hi32)
 

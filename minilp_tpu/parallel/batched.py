@@ -146,9 +146,33 @@ def solve_batches_pipelined(
         B, m, n = A.shape
         basis = np.asarray(out[0]).reshape(B, m)
         vstat = np.asarray(out[1]).reshape(B, n)
-        status = np.asarray(out[2]).reshape(B)
+        # np.array (copy): device-backed numpy views are read-only, and the
+        # fallback below writes into status
+        status = np.array(out[2]).reshape(B)
         niter = np.asarray(out[3]).reshape(B)
         obj, verified, x = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
+        # rare uncertified lanes (<0.1%): exact host re-solve, so callers get
+        # an all-verified batch (same guarantee as solve_batch_certified)
+        if not verified.all():
+            from scipy.optimize import linprog
+
+            from ..status import Status as St
+
+            for i in np.flatnonzero(~verified):
+                bounds = [
+                    (lo[i, j] if np.isfinite(lo[i, j]) else None,
+                     hi[i, j] if np.isfinite(hi[i, j]) else None)
+                    for j in range(n)
+                ]
+                r = linprog(c[i], A_eq=A[i], b_eq=b[i], bounds=bounds,
+                            method="highs")
+                if r.status == 0:
+                    obj[i], x[i] = r.fun, r.x
+                    status[i], verified[i] = int(St.OPTIMAL), True
+                elif r.status == 2:
+                    status[i], verified[i] = int(St.INFEASIBLE), True
+                elif r.status == 3:
+                    status[i], verified[i] = int(St.UNBOUNDED), True
         from ..ops.kernels.batched_simplex import PallasBatchResult
 
         return PallasBatchResult(

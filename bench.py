@@ -47,12 +47,14 @@ def main() -> None:
 
     # warmup/compile on one batch, then time on FRESH batches.
     warm = [make_random_batch_host(0, batch=BATCH, m=M, nv=NV)]
-    solve_batches_pipelined(warm, pack=PACK, max_iter=2000)
+    solve_batches_pipelined(warm, pack=PACK, max_iter=2000, structural_cols=NV)
 
     batches = [make_random_batch_host(1 + k, batch=BATCH, m=M, nv=NV)
                for k in range(N_BATCHES)]
     t0 = time.perf_counter()
-    results = solve_batches_pipelined(batches, pack=PACK, max_iter=2000)
+    results = solve_batches_pipelined(
+        batches, pack=PACK, max_iter=2000, structural_cols=NV
+    )
     dt = time.perf_counter() - t0
     lps_per_sec = (N_BATCHES * BATCH) / dt
 
@@ -61,6 +63,36 @@ def main() -> None:
     niters = np.concatenate([np.asarray(r.niter) for r in results])
     n_optimal = int((statuses == int(Status.OPTIMAL)).sum())
     n_verified = int(verified.sum())
+
+    # Device-only solve rate (data already device-resident, f32): isolates
+    # the kernel from the host↔device link — on this machine the TPU sits
+    # behind a network tunnel, so the pipelined number above is link-bound.
+    import jax.numpy as jnp
+    from minilp_tpu.ops.kernels import packed_simplex as ps
+
+    A0, b0, c0, lo0, hi0 = batches[0]
+    n = c0.shape[1]
+    P = BATCH // PACK
+    f32 = lambda x, shape: jnp.asarray(
+        np.ascontiguousarray(x, dtype=np.float32).reshape(shape)
+    )
+    dev_args = (
+        f32(A0, (P, PACK * M, n)), f32(b0, (P, PACK, M)),
+        f32(c0, (P, PACK, n)), f32(lo0, (P, PACK, n)), f32(hi0, (P, PACK, n)),
+    )
+    kernel_ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            out = ps.packed_kernel_call(
+                *dev_args, pack=PACK, slack0=n - M, max_iter=2000,
+                refactor_period=32, feas_tol=1e-5, opt_tol=1e-6,
+                pivot_tol=1e-6, bland_after=200, interpret=False,
+            )
+        np.asarray(out[2])  # force completion (block_until_ready is a no-op
+        # on the axon backend); outputs are ~1 MB so the pull is negligible
+        kernel_ts.append(time.perf_counter() - t0)
+    device_lps = BATCH / min(kernel_ts)
 
     # CPU baseline + independent correctness guard on a sample of batch 0.
     from scipy.optimize import linprog
@@ -98,6 +130,7 @@ def main() -> None:
         "mean_simplex_iters": round(float(niters.mean()), 1),
         "simplex_iters_per_sec": round(float(niters.sum() / dt), 1),
         "wall_s": round(dt, 4),
+        "device_only_lps_per_sec": round(device_lps, 2),
         "backend": jax.default_backend(),
     }))
 

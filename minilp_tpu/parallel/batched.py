@@ -104,6 +104,7 @@ def solve_batches_pipelined(
     pack: int = 8,
     slack0=None,
     max_iter: int = 2000,
+    structural_cols: int | None = None,
 ):
     """Solve a sequence of host-resident LP batches, overlapping device solve
     of batch k+1 with host f64 certification of batch k.
@@ -111,10 +112,18 @@ def solve_batches_pipelined(
     `batches` is a list of (A, b, c, lo, hi) numpy tuples.  The device only
     ever sees f32 copies (upload is f32 — half the tunnel bytes) and only the
     combinatorial outputs (basis/vstat/status) come back; the f64 data stays
-    on the host where the exact certification runs.  With kernel time and
-    certify time comparable, steady-state throughput ≈ 1/max(t_kernel,
-    t_certify) instead of 1/(t_kernel + t_certify).
+    on the host where the exact certification runs.  Uploads of batch k+1 run
+    on a prefetch thread while batch k solves, so steady-state throughput ≈
+    1/max(t_upload, t_kernel, t_certify) instead of their sum.
+
+    `structural_cols=nv` declares that columns [nv, nv+m) of A are the
+    identity slack block (true of every canonicalized LP and of
+    `make_random_batch_host`): then only the structural block A[:, :, :nv]
+    is uploaded and the identity is assembled on device — the host→device
+    link is usually the bottleneck, and the slack block is pure structure.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     from ..ops.kernels import packed_simplex as ps
@@ -122,19 +131,39 @@ def solve_batches_pipelined(
 
     interpret = jax.default_backend() != "tpu"
 
-    def launch(batch):
+    def prep(batch):
+        """Host f32 cast + device upload (runs on the prefetch thread so the
+        next batch's H2D overlaps the current batch's solve/certify)."""
+        A, b, c, lo, hi = batch
+        B, m, n = A.shape
+        P = B // pack
+        up = lambda x, shape: jnp.asarray(
+            np.ascontiguousarray(x, dtype=np.float32).reshape(shape)
+        )
+        if structural_cols is not None:
+            A_dev = up(A[:, :, :structural_cols], (B, m, structural_cols))
+        else:
+            A_dev = up(A, (P, pack * m, n))
+        return (
+            A_dev,
+            up(b, (P, pack, m)),
+            up(c, (P, pack, n)),
+            up(lo, (P, pack, n)),
+            up(hi, (P, pack, n)),
+        )
+
+    def launch(dev_args, batch):
         A, b, c, lo, hi = batch
         B, m, n = A.shape
         s0 = (n - m) if slack0 is None else slack0
-        P = B // pack
-        f32 = lambda x: jnp.asarray(np.asarray(x, dtype=np.float32))
+        A_dev, *vecs = dev_args
         with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+            if structural_cols is not None:
+                A_dev = _assemble_packed(
+                    A_dev, pack=pack, slack0=s0, n=n
+                )
             out = ps.packed_kernel_call(
-                f32(A).reshape(P, pack * m, n),
-                f32(b).reshape(P, pack, m),
-                f32(c).reshape(P, pack, n),
-                f32(lo).reshape(P, pack, n),
-                f32(hi).reshape(P, pack, n),
+                A_dev, *vecs,
                 pack=pack, slack0=s0, max_iter=max_iter,
                 refactor_period=32, feas_tol=1e-5, opt_tol=1e-6,
                 pivot_tol=1e-6, bland_after=200, interpret=interpret,
@@ -182,13 +211,33 @@ def solve_batches_pipelined(
 
     results = []
     prev = None
-    for batch in batches:
-        out = launch(batch)  # async dispatch
-        if prev is not None:
-            results.append(finalize(*prev))  # host work overlaps device solve
-        prev = (batch, out)
-    results.append(finalize(*prev))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(prep, batches[0])
+        for k, batch in enumerate(batches):
+            dev_args = fut.result()
+            if k + 1 < len(batches):
+                fut = pool.submit(prep, batches[k + 1])  # overlap next upload
+            out = launch(dev_args, batch)  # async dispatch
+            if prev is not None:
+                results.append(finalize(*prev))  # host certify overlaps solve
+            prev = (batch, out)
+        results.append(finalize(*prev))
     return results
+
+
+@partial(jax.jit, static_argnames=("pack", "slack0", "n"))
+def _assemble_packed(A_s32, *, pack: int, slack0: int, n: int):
+    """Device-side assembly of [structural | identity-slack | padding] from
+    the uploaded structural block (B, m, nv) → packed (B/pack, pack·m, n)."""
+    B, m, nv = A_s32.shape
+    assert slack0 == nv, "identity slack block must follow the structural cols"
+    eye = jnp.broadcast_to(jnp.eye(m, dtype=A_s32.dtype), (B, m, m))
+    parts = [A_s32, eye]
+    padding = n - nv - m
+    if padding:
+        parts.append(jnp.zeros((B, m, padding), dtype=A_s32.dtype))
+    A = jnp.concatenate(parts, axis=2)
+    return A.reshape(B // pack, pack * m, n)
 
 
 def make_random_batch_host(

@@ -57,6 +57,15 @@ def test_pipelined_batches():
                for k in range(3)]
     results = solve_batches_pipelined(batches, pack=4, max_iter=2000)
     assert len(results) == 3
+    # structural-upload variant (identity slack assembled on device) must
+    # produce identical certified objectives
+    results_s = solve_batches_pipelined(
+        batches, pack=4, max_iter=2000, structural_cols=16
+    )
+    for r, rs in zip(results, results_s):
+        np.testing.assert_allclose(
+            np.asarray(r.obj), np.asarray(rs.obj), rtol=1e-12, atol=1e-12
+        )
     for (A, b, c, lo, hi), res in zip(batches, results):
         assert np.asarray(res.verified).all()
         for i in range(2):  # spot-check two lanes per batch

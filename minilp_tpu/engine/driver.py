@@ -267,36 +267,15 @@ def _megakernel_eligible(can: CanonicalLP, opts: SolverOptions) -> bool:
     )
 
 
-def _try_megakernel_solve(
-    can: CanonicalLP, opts: SolverOptions
+def _state_from_certified_basis(
+    can: CanonicalLP, basis: np.ndarray, vstat: np.ndarray, niter: int,
+    opts: SolverOptions,
 ) -> SimplexState | None:
-    """Solve one canonical LP through the Pallas megakernel (f32 iterate).
+    """Exact f64 SimplexState rebuilt from a certified (basis, vstat).
 
-    Returns a fully rebuilt f64 SimplexState when the discovered basis passes
-    exact f64 certification (primal + dual feasible), else None — the caller
-    falls back to the XLA engine.  This is the single-LP TPU fast path: the
-    f64 XLA graph compiles for minutes on this backend and its emulated-f64
-    arithmetic has faulted at some shapes, while the f32 kernel + host f64
-    certification reaches the same exact answers (the basis is combinatorial).
-    """
-    from ..ops.kernels.batched_simplex import solve_batch_pallas
-
-    interpret = jax.default_backend() != "tpu"
-    try:
-        res = solve_batch_pallas(
-            can.A[None], can.b[None], can.c[None], can.lo[None], can.hi[None],
-            slack0=can.nv,
-            max_iter=opts.effective_max_iter(can.M, can.N),
-            interpret=interpret,
-        )
-    except Exception:  # lowering/backend failure → XLA engine fallback
-        return None
-    if not bool(res.verified[0]):
-        return None
-    basis = np.asarray(res.basis[0])
-    vstat = np.asarray(res.vstat[0]).astype(np.int8)
-    # exact warm state in host f64 (one LU): the handle's incremental API
-    # needs (Binv, xB, d, obj) consistent with the certified basis.
+    One host LU: the handle's incremental API needs (Binv, xB, d, obj)
+    consistent with the basis; everything follows from the combinatorial
+    state.  Returns None on a singular basis (caller falls back)."""
     A = can.A.astype(np.float64)
     Bmat = A[:, basis]
     try:
@@ -319,12 +298,56 @@ def _try_megakernel_solve(
         d=jnp.asarray(d, dtype=dtype),
         Binv=jnp.asarray(Binv, dtype=dtype),
         obj=jnp.asarray(obj, dtype=dtype),
-        niter=jnp.asarray(int(res.niter[0]), dtype=jnp.int32),
+        niter=jnp.asarray(int(niter), dtype=jnp.int32),
         status=jnp.asarray(int(Status.OPTIMAL), dtype=jnp.int32),
         noimprove=jnp.int32(0),
         best=jnp.asarray(np.inf, dtype=dtype),
         weights=jnp.ones_like(jnp.asarray(d, dtype=dtype)),
         phase=jnp.int32(2),
+    )
+
+
+def _try_megakernel_solve(
+    can: CanonicalLP, opts: SolverOptions, warm_state=None
+) -> SimplexState | None:
+    """Solve one canonical LP through the Pallas megakernel (f32 iterate).
+
+    Returns a fully rebuilt f64 SimplexState when the discovered basis passes
+    exact f64 certification (primal + dual feasible), else None — the caller
+    falls back to the XLA engine.  This is the single-LP TPU fast path: the
+    f64 XLA graph compiles for minutes on this backend and its emulated-f64
+    arithmetic has faulted at some shapes, while the f32 kernel + host f64
+    certification reaches the same exact answers (the basis is combinatorial).
+
+    `warm_state=(basis, vstat, Binv)` (unbatched host arrays) re-solves from
+    a previous basis — the incremental API's warm restart.
+    """
+    from ..ops.kernels.batched_simplex import solve_batch_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    if warm_state is not None:
+        basis0, vstat0, Binv0 = warm_state
+        warm_state = (
+            np.asarray(basis0, dtype=np.int32)[None],
+            np.asarray(vstat0, dtype=np.int32)[None],
+            np.asarray(Binv0, dtype=np.float32)[None],
+        )
+    try:
+        res = solve_batch_pallas(
+            can.A[None], can.b[None], can.c[None], can.lo[None], can.hi[None],
+            slack0=can.nv,
+            max_iter=opts.effective_max_iter(can.M, can.N),
+            interpret=interpret,
+            warm_state=warm_state,
+        )
+    except Exception:  # lowering/backend failure → XLA engine fallback
+        return None
+    if not bool(res.verified[0]):
+        return None
+    basis = np.asarray(res.basis[0])
+    vstat = np.asarray(res.vstat[0]).astype(np.int8)
+    return _state_from_certified_basis(
+        can, basis, vstat, int(res.niter[0]), opts
     )
 
 

@@ -101,7 +101,41 @@ def _exact_host_inverse(can, basis) -> jnp.ndarray:
     return jnp.asarray(np.linalg.inv(B))
 
 
+def _try_megakernel_resolve(handle, event: str) -> bool:
+    """Warm re-solve through the Pallas megakernel (TPU fast path).
+
+    After an edit the previous basis is a few pivots from optimal; the f32
+    kernel restarts from (basis, vstat, maintained inverse) and the result is
+    f64-certified before being adopted.  Returns False (caller falls back to
+    the XLA dual/primal engine) when ineligible, uncertified, or when the
+    kernel claims a non-OPTIMAL terminal status — INFEASIBLE from an f32
+    iterate is not a certificate, so the exact engine must confirm it.
+    """
+    can = handle.can
+    if not _driver._megakernel_eligible(can, handle.opts):
+        return False
+    warm = (
+        np.asarray(handle.state.basis),
+        np.asarray(handle.state.vstat),
+        np.asarray(handle.state.Binv),
+    )
+    with records.timed() as t:
+        state = _driver._try_megakernel_solve(can, handle.opts, warm_state=warm)
+    if state is None:
+        return False
+    _driver._emit_record(event + "_megakernel", can, state,
+                         int(Status.OPTIMAL), t.wall_s, handle.opts)
+    handle.state = state
+    handle._x_cache = None
+    handle._exact_obj = None
+    handle.certified = None
+    handle.certify()
+    return True
+
+
 def _run_dual_resolve(handle) -> None:
+    if _try_megakernel_resolve(handle, "dual_resolve"):
+        return
     can = handle.can
 
     def run(Binv0):
@@ -127,6 +161,8 @@ def _run_dual_resolve(handle) -> None:
 
 
 def _run_primal_resolve(handle) -> None:
+    if _try_megakernel_resolve(handle, "primal_resolve"):
+        return
     can = handle.can
 
     def run(Binv0):

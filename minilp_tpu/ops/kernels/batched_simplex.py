@@ -68,14 +68,26 @@ class PallasBatchResult(NamedTuple):
 def _simplex_kernel(
     # inputs (VMEM blocks, one LP per grid program)
     A_ref, b_ref, c_ref, lo_ref, hi_ref,
-    # outputs
-    basis_out, vstat_out, status_out, niter_out,
-    # scratch
-    Binv, xB, d, loB, hiB, cB, wts,
-    *, m: int, n: int, slack0: int, max_iter: int, refactor_period: int,
+    # warm-start inputs (present only when warm=True)
+    *refs_and_scratch,
+    m: int, n: int, slack0: int, max_iter: int, refactor_period: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
+    warm: bool = False,
 ):
-    """One LP per grid program.  Shapes: A (m,n); vectors as (1,·) rows."""
+    """One LP per grid program.  Shapes: A (m,n); vectors as (1,·) rows.
+
+    With warm=True, three extra input refs precede the outputs —
+    basis0 (1,m) i32, vstat0 (1,n) i32, Binv0 (m,m) f32 — and the kernel
+    starts from that state (the incremental-API warm restart; the maintained
+    inverse is the Newton seed) instead of the slack basis.
+    """
+    if warm:
+        (basis0_ref, vstat0_ref, Binv0_ref,
+         basis_out, vstat_out, status_out, niter_out,
+         Binv, xB, d, loB, hiB, cB, wts) = refs_and_scratch
+    else:
+        (basis_out, vstat_out, status_out, niter_out,
+         Binv, xB, d, loB, hiB, cB, wts) = refs_and_scratch
     A = A_ref[...]            # (m, n) f32, VMEM-resident throughout
     c = c_ref[...]            # (1, n)
     lo = lo_ref[...]          # (1, n)
@@ -100,26 +112,40 @@ def _simplex_kernel(
             return jnp.sum(jnp.where(row_ids == r, vec, jnp.int32(0)))
         return jnp.sum(jnp.where(row_ids == r, vec, ZERO))
 
-    # ---- initial state: slack basis (columns [slack0, slack0+m)), Binv = I --
-    # The identity slack block need not be the LAST columns: the canonical
-    # form (canonical.py) places it at [nv, nv+M) with inert padding after.
-    Binv[...] = eye_m
-    basis_out[...] = row_ids + slack0
-    is_slack = (col_ids >= slack0) & (col_ids < slack0 + m)
-    # full initial-status logic (canonical.initial_vstat): fixed ⇒ FIXED,
-    # finite lower ⇒ AT_LOWER, else finite upper ⇒ AT_UPPER, else FREE.
-    # Inert padding columns are fixed [0,0] ⇒ FIXED ⇒ never eligible.
-    vstat0 = jnp.where(
-        jnp.isfinite(lo), jnp.int32(VarStat.AT_LOWER),
-        jnp.where(jnp.isfinite(hi), jnp.int32(VarStat.AT_UPPER),
-                  jnp.int32(VarStat.FREE)),
-    )
-    vstat0 = jnp.where(lo == hi, jnp.int32(VarStat.FIXED), vstat0)
-    vstat0 = jnp.where(is_slack, jnp.int32(VarStat.BASIC), vstat0)
-    vstat_out[...] = vstat0
-    loB[...] = lo[:, slack0:slack0 + m]
-    hiB[...] = hi[:, slack0:slack0 + m]
-    cB[...] = c[:, slack0:slack0 + m]
+    if warm:
+        # ---- warm start: state handed in by the incremental API --------------
+        Binv[...] = Binv0_ref[...]
+        basis_out[...] = basis0_ref[...]
+        vstat_out[...] = vstat0_ref[...]
+        # gathered basic bounds/costs via masked selects (a one-hot MATMUL
+        # would turn unselected ±inf bounds into 0·inf = NaN)
+        sel = (lax.broadcasted_iota(jnp.int32, (m, n), 1)
+               == basis0_ref[...].T)                       # (m, n)
+        bc = lambda v: jnp.broadcast_to(v, (m, n))
+        loB[...] = jnp.sum(jnp.where(sel, bc(lo), ZERO), axis=1, keepdims=True).T
+        hiB[...] = jnp.sum(jnp.where(sel, bc(hi), ZERO), axis=1, keepdims=True).T
+        cB[...] = jnp.sum(jnp.where(sel, bc(c), ZERO), axis=1, keepdims=True).T
+    else:
+        # ---- cold start: slack basis (columns [slack0, slack0+m)), Binv = I --
+        # The identity slack block need not be the LAST columns: the canonical
+        # form (canonical.py) places it at [nv, nv+M) with inert padding after.
+        Binv[...] = eye_m
+        basis_out[...] = row_ids + slack0
+        is_slack = (col_ids >= slack0) & (col_ids < slack0 + m)
+        # full initial-status logic (canonical.initial_vstat): fixed ⇒ FIXED,
+        # finite lower ⇒ AT_LOWER, else finite upper ⇒ AT_UPPER, else FREE.
+        # Inert padding columns are fixed [0,0] ⇒ FIXED ⇒ never eligible.
+        vstat0 = jnp.where(
+            jnp.isfinite(lo), jnp.int32(VarStat.AT_LOWER),
+            jnp.where(jnp.isfinite(hi), jnp.int32(VarStat.AT_UPPER),
+                      jnp.int32(VarStat.FREE)),
+        )
+        vstat0 = jnp.where(lo == hi, jnp.int32(VarStat.FIXED), vstat0)
+        vstat0 = jnp.where(is_slack, jnp.int32(VarStat.BASIC), vstat0)
+        vstat_out[...] = vstat0
+        loB[...] = lo[:, slack0:slack0 + m]
+        hiB[...] = hi[:, slack0:slack0 + m]
+        cB[...] = c[:, slack0:slack0 + m]
     wts[...] = jnp.ones_like(c)  # Devex reference weights γ
 
     def nonbasic_x(vstat):
@@ -355,9 +381,12 @@ def _simplex_kernel(
 
         return (status, niter, phase, noimp, best, fresh, force)
 
+    # warm starts distrust the handed-in (f32-cast) inverse: fresh=0 forces a
+    # Newton refresh before any terminal claim is believed.
     init = (
         jnp.int32(Status.RUNNING), jnp.int32(0), jnp.int32(1),
-        jnp.int32(0), jnp.float32(jnp.inf), jnp.int32(1), jnp.int32(0),
+        jnp.int32(0), jnp.float32(jnp.inf),
+        jnp.int32(0 if warm else 1), jnp.int32(0),
     )
     status, niter, phase, noimp, best, _fresh, _force = lax.while_loop(
         cond, body, init
@@ -381,6 +410,7 @@ def solve_batch_pallas(
     pivot_tol: float = 1e-6,
     bland_after: int = 200,
     interpret: bool = False,
+    warm_state=None,
 ) -> PallasBatchResult:
     """Solve B small canonical LPs in one Pallas launch (module docstring).
 
@@ -390,12 +420,27 @@ def solve_batch_pallas(
     `make_random_batch` layout), while canonicalized problems pass
     `slack0=can.nv` (canonical.py column layout).  Returns exact f64
     objectives recomputed from the discovered bases plus `verified` flags.
+
+    `warm_state=(basis0 (B,m) i32, vstat0 (B,n) int, Binv0 (B,m,m))` starts
+    each LP from that state instead of the slack basis — the incremental
+    API's warm restart (`Solution::add_constraint` re-solves, SURVEY.md
+    §4.2): after a row activation or bound change the old basis is a few
+    pivots from optimal, and the maintained inverse is the Newton seed.
     """
     B, m, n = A.shape
     if slack0 is None:
         slack0 = n - m
     f32 = lambda x: jnp.asarray(x, dtype=F32)
     A32, b32, c32, lo32, hi32 = map(f32, (A, b, c, lo, hi))
+    if warm_state is not None:
+        basis0, vstat0, Binv0 = warm_state
+        warm_args = (
+            jnp.asarray(basis0, dtype=jnp.int32)[:, None, :],
+            jnp.asarray(vstat0, dtype=jnp.int32)[:, None, :],
+            jnp.asarray(Binv0, dtype=F32),
+        )
+    else:
+        warm_args = ()
 
     # Trace the kernel with x64 disabled: under x64, stray python literals and
     # argmax/iota defaults produce f64/i64 intermediates that Mosaic either
@@ -409,6 +454,7 @@ def solve_batch_pallas(
         out = simplex_kernel_call(
             A32, b32[:, None, :], c32[:, None, :],
             lo32[:, None, :], hi32[:, None, :],
+            *warm_args,
             slack0=slack0,
             max_iter=max_iter, refactor_period=refactor_period,
             feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
@@ -434,28 +480,39 @@ def solve_batch_pallas(
     ),
 )
 def simplex_kernel_call(
-    A32, b32, c32, lo32, hi32, *,
+    A32, b32, c32, lo32, hi32, *warm_args,
     slack0, max_iter, refactor_period, feas_tol, opt_tol, pivot_tol,
     bland_after, interpret,
 ):
     B, m, n = A32.shape
+    warm = bool(warm_args)
     kern = functools.partial(
         _simplex_kernel, m=m, n=n, slack0=slack0, max_iter=max_iter,
         refactor_period=refactor_period, feas_tol=feas_tol,
         opt_tol=opt_tol, pivot_tol=pivot_tol, bland_after=bland_after,
+        warm=warm,
     )
     vec_spec = lambda cols: pl.BlockSpec(
         (1, 1, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
+    warm_specs = []
+    if warm:
+        warm_specs = [
+            vec_spec(m),  # basis0 (B, 1, m) i32
+            vec_spec(n),  # vstat0 (B, 1, n) i32
+            pl.BlockSpec((1, m, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
     return pl.pallas_call(
-        lambda A_ref, b_ref, c_ref, lo_ref, hi_ref, bo, vo, so, no, *scr: kern(
+        lambda A_ref, b_ref, c_ref, lo_ref, hi_ref, *rest: kern(
             A_ref.at[0], b_ref.at[0], c_ref.at[0], lo_ref.at[0], hi_ref.at[0],
-            bo.at[0], vo.at[0], so.at[0], no.at[0], *scr,
+            *[r.at[0] for r in rest[:len(warm_specs) + 4]],
+            *rest[len(warm_specs) + 4:],
         ),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, m, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             vec_spec(m), vec_spec(n), vec_spec(n), vec_spec(n),
+            *warm_specs,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, m), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),

@@ -92,6 +92,48 @@ def test_megakernel_driver_fast_path():
     assert abs(sol2.objective() - 6.5) <= 1e-9
 
 
+def test_megakernel_warm_incremental_sequence():
+    """use_megakernel='always': the whole incremental API (add_constraint,
+    fix/unfix, Gomory cut) runs through WARM megakernel re-solves (interpret
+    mode on CPU) and matches the XLA engine bit-for-bit on objectives."""
+    from minilp_tpu import ComparisonOp, OptimizationDirection, Problem
+    from minilp_tpu.options import SolverOptions
+
+    def drive(opts):
+        prob = Problem(OptimizationDirection.Maximize, options=opts)
+        x = prob.add_var(3.0, (0.0, None))
+        y = prob.add_var(2.0, (0.0, None))
+        prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
+        prob.add_constraint(x + 3.0 * y, ComparisonOp.Le, 6.0)
+        sol = prob.solve()
+        objs = [sol.objective()]
+        sol = sol.add_constraint(x - y, ComparisonOp.Le, 1.0)
+        objs.append(sol.objective())
+        sol = sol.fix_var(y, 1.0)
+        objs.append(sol.objective())
+        changed, sol = sol.unfix_var(y)
+        objs.append(sol.objective())
+        # fresh solve with a fractional BASIC optimum for the Gomory cut
+        # (presolve off: a singleton row would be absorbed into the bound,
+        # leaving the variable non-basic at its bound)
+        import dataclasses
+
+        opts2 = dataclasses.replace(opts, presolve=False)
+        p2 = Problem(OptimizationDirection.Maximize, options=opts2)
+        u = p2.add_var(3.0, (0.0, None))
+        v = p2.add_var(2.0, (0.0, None))
+        p2.add_constraint(2.0 * u + 2.0 * v, ComparisonOp.Le, 3.0)
+        p2.add_constraint(u - v, ComparisonOp.Le, 0.25)
+        # unique optimum (u, v) = (0.875, 0.625): u basic and fractional
+        s2 = p2.solve().add_gomory_cut(u)
+        objs.append(s2.objective())
+        return objs
+
+    mega = drive(SolverOptions(use_megakernel="always"))
+    xla = drive(SolverOptions(use_megakernel="never"))
+    np.testing.assert_allclose(mega, xla, rtol=1e-9, atol=1e-9)
+
+
 def test_solve_batch_certified_all_lanes():
     """solve_batch_certified returns an all-verified batch (host fallback
     covers any lane the f32 kernel could not certify)."""

@@ -536,7 +536,7 @@ def simplex_kernel_call(
             pltpu.VMEM((1, n), F32),   # Devex weights
         ],
         interpret=interpret,
-    )(A32, b32, c32, lo32, hi32)
+    )(A32, b32, c32, lo32, hi32, *warm_args)
 
 
 def _verify_f64(A, b, c, lo, hi, basis, vstat, status):

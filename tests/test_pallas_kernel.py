@@ -92,6 +92,58 @@ def test_megakernel_driver_fast_path():
     assert abs(sol2.objective() - 6.5) <= 1e-9
 
 
+def test_megakernel_warm_start_direct():
+    """Warm-start kernel variant driven directly (no driver fallback to hide
+    errors): re-solving from the optimal state terminates in ~0 pivots, and
+    re-solving after a bound change reaches the new optimum."""
+    from scipy.optimize import linprog
+
+    key = jax.random.PRNGKey(21)
+    A, b, c, lo, hi, _, _ = make_random_batch(key, 2, 8, 16)
+    cold = solve_batch_pallas(A, b, c, lo, hi, interpret=True)
+    assert np.asarray(cold.verified).all()
+    An = np.asarray(A)
+    basis0 = np.asarray(cold.basis)
+    vstat0 = np.asarray(cold.vstat)
+    Binv0 = np.stack([
+        np.linalg.inv(An[i][:, basis0[i]]) for i in range(2)
+    ]).astype(np.float32)
+
+    warm = solve_batch_pallas(
+        A, b, c, lo, hi, interpret=True,
+        warm_state=(basis0, vstat0, Binv0),
+    )
+    assert np.asarray(warm.verified).all()
+    np.testing.assert_allclose(
+        np.asarray(warm.obj), np.asarray(cold.obj), rtol=1e-9, atol=1e-9
+    )
+    assert int(np.asarray(warm.niter).max()) <= 2  # already optimal
+
+    # tighten a box bound and warm re-solve; check against the oracle
+    hi2 = np.asarray(hi).copy()
+    hi2[:, 0] = 0.25
+    vs2 = vstat0.copy()
+    # variable 0 keeps its status unless it now violates the new bound;
+    # re-home it at the tightened bound if it was resting above
+    from minilp_tpu.status import VarStat
+    at_hi = vs2[:, 0] == int(VarStat.AT_UPPER)
+    warm2 = solve_batch_pallas(
+        A, b, c, lo, hi2, interpret=True,
+        warm_state=(basis0, vs2, Binv0),
+    )
+    assert np.asarray(warm2.verified).all()
+    bn, cn, lon = map(np.asarray, (b, c, lo))
+    for i in range(2):
+        bounds = [
+            (lon[i, j] if np.isfinite(lon[i, j]) else None,
+             hi2[i, j] if np.isfinite(hi2[i, j]) else None)
+            for j in range(cn.shape[1])
+        ]
+        r = linprog(cn[i], A_eq=An[i], b_eq=bn[i], bounds=bounds, method="highs")
+        assert r.status == 0
+        assert abs(float(warm2.obj[i]) - r.fun) <= 1e-9 * (1 + abs(r.fun))
+
+
 def test_megakernel_warm_incremental_sequence():
     """use_megakernel='always': the whole incremental API (add_constraint,
     fix/unfix, Gomory cut) runs through WARM megakernel re-solves (interpret

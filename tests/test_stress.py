@@ -15,16 +15,33 @@ from .oracle import random_problem, solve_with_oracle
 
 @pytest.mark.parametrize("seed", [0, 1])
 def test_incremental_stress(seed):
+    _run_incremental_stress(seed, trials=12, steps=8, options=None)
+
+
+def test_incremental_stress_megakernel():
+    """Same interleaving gate forced through the warm Pallas megakernel path
+    (interpret mode on CPU): cold solves and every re-solve go through the
+    f32 kernel + f64 certification + fallback machinery."""
+    from minilp_tpu.options import SolverOptions
+
+    _run_incremental_stress(
+        7, trials=4, steps=5, options=SolverOptions(use_megakernel="always")
+    )
+
+
+def _run_incremental_stress(seed, trials, steps, options):
     rng = np.random.default_rng(seed)
     fails = []
-    for trial in range(12):
+    for trial in range(trials):
         prob = random_problem(rng, int(rng.integers(4, 14)), int(rng.integers(3, 12)))
+        if options is not None:
+            prob.options = options
         shadow = copy.deepcopy(prob)  # oracle-side model; prob stays frozen
         if solve_with_oracle(shadow)[0] != "optimal":
             continue
         sol = prob.solve()
         fixed = {}
-        for step in range(8):
+        for step in range(steps):
             op = int(rng.integers(0, 3))
             # mutate the shadow FIRST so the oracle sees the attempted edit
             # whether or not our solver raises

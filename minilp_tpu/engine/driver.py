@@ -351,6 +351,81 @@ def _try_megakernel_solve(
     )
 
 
+def _f32_midsize_eligible(can: CanonicalLP, opts: SolverOptions) -> bool:
+    if opts.f32_midsize == "never":
+        return False
+    if opts.f32_midsize == "always":
+        return True
+    if opts.f32_midsize != "auto":
+        raise ValueError(f"unknown f32_midsize {opts.f32_midsize!r}")
+    # auto: only worth it where the f64 engine is the painful path — on TPU
+    # (emulated f64: minutes of XLA compile, device faults at some shapes).
+    return jax.default_backend() == "tpu" and opts.dtype == "float64"
+
+
+def _f32_opts(opts: SolverOptions) -> SolverOptions:
+    """f32 working copy of `opts` with tolerances loosened to what single
+    precision can actually resolve (the certification step restores 1e-16-grade
+    accuracy; these only steer the iterate)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        opts,
+        dtype="float32",
+        feas_tol=max(opts.feas_tol, 1e-5),
+        opt_tol=max(opts.opt_tol, 1e-6),
+        pivot_tol=max(opts.pivot_tol, 1e-6),
+    )
+
+
+def _try_f32_certified_solve(
+    can: CanonicalLP, opts: SolverOptions
+) -> SimplexState | None:
+    """Mid-size TPU fast path: run the XLA engine in f32, adopt the basis only
+    if it passes exact f64 certification (primal + dual feasible).
+
+    Same pattern as the megakernel path (`_try_megakernel_solve`) but through
+    the general XLA engine, so it covers any padded shape — the megakernel is
+    VMEM-bound at (256, 1024).  Only an OPTIMAL f32 status is ever adopted:
+    f32 INFEASIBLE/UNBOUNDED claims are not certifiable from the basis alone,
+    so they fall back to the exact f64 engine.  Returns the exact f64 state or
+    None (caller falls back).
+    """
+    f32 = _f32_opts(opts)
+    args = (
+        jnp.asarray(can.A, dtype=jnp.float32),
+        jnp.asarray(can.b, dtype=jnp.float32),
+        jnp.asarray(can.c, dtype=jnp.float32),
+        jnp.asarray(can.lo, dtype=jnp.float32),
+        jnp.asarray(can.hi, dtype=jnp.float32),
+    )
+    try:
+        state = _solve_jit(*args, jnp.asarray(can.vstat0),
+                           jnp.asarray(can.basis0), opts=f32)
+        if int(state.status) == int(Status.NUMERICAL):
+            B = can.A[:, np.asarray(state.basis)].astype(np.float64)
+            state = _solve_jit(
+                *args, state.vstat, state.basis, opts=f32,
+                Binv0=jnp.asarray(np.linalg.inv(B), dtype=jnp.float32),
+            )
+    except Exception:  # lowering/backend failure → f64 engine fallback
+        return None
+    if int(state.status) != int(Status.OPTIMAL):
+        return None
+    basis = np.asarray(state.basis)
+    vstat = np.asarray(state.vstat).astype(np.int8)
+    state64 = _state_from_certified_basis(
+        can, basis, vstat, int(state.niter), opts
+    )
+    if state64 is None:
+        return None
+    # exact feasibility check of the rebuilt vertex (same test certify() runs)
+    probe = EngineHandle(can, state64, None, opts)
+    if not probe.certify():
+        return None
+    return state64
+
+
 def solve_problem(problem: "api.Problem") -> "api.Solution":
     """Cold solve: `Problem::solve` equivalent (SURVEY.md §4.1)."""
     opts = problem.options
@@ -375,6 +450,16 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             handle.certify()
             return api.Solution(handle, user_problem)
         # uncertified / non-optimal / kernel unavailable → XLA engine below
+    if _f32_midsize_eligible(can, opts):
+        with records.timed() as t:
+            state = _try_f32_certified_solve(can, opts)
+        if state is not None:
+            _emit_record("cold_solve_f32", can, state,
+                         int(Status.OPTIMAL), t.wall_s, opts)
+            handle = EngineHandle(can, state, problem, opts)
+            handle.certify()
+            return api.Solution(handle, user_problem)
+        # f32 pass uncertified or claimed non-OPTIMAL → exact f64 engine below
     args = (
         jnp.asarray(can.A),
         jnp.asarray(can.b),

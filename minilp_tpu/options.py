@@ -64,6 +64,15 @@ class SolverOptions:
     #: the host; silent fallback to the XLA engine when uncertified),
     #: "always" forces it (interpret mode off-TPU), "never" disables.
     use_megakernel: str = "auto"
+    #: Mid-size TPU path: when an LP is too big for the megakernel's VMEM
+    #: envelope and the working dtype is float64, "auto" first runs the XLA
+    #: engine in float32 (loosened tolerances) and adopts the answer only
+    #: after exact f64 host certification of the discovered basis — the same
+    #: iterate-f32/certify-f64 pattern as the megakernel, avoiding the TPU's
+    #: emulated-f64 hot loop (minutes of compile; device faults at some
+    #: shapes).  "always" forces the f32 first pass on every backend,
+    #: "never" disables it (straight to the f64 engine).
+    f32_midsize: str = "auto"
     #: Phase-2 pricing rule: "devex" (approximate steepest-edge reference
     #: weights, the reference's "Dantzig + steepest-edge" scheme — fresh
     #: weights make early iterations Dantzig-like) or "dantzig".

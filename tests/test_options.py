@@ -56,6 +56,50 @@ def test_options_hashable_for_jit():
     assert hash(SolverOptions(max_iter=7)) != hash(SolverOptions())
 
 
+def test_f32_midsize_path():
+    # f32_midsize="always": default-f64 options, but the cold solve runs the
+    # XLA engine in f32 first and adopts only an exactly-certified basis —
+    # the mid-size TPU path (beyond the megakernel envelope), exercised here
+    # on CPU.  Certified answers are exact, so the gate is tight.
+    opts = SolverOptions(f32_midsize="always")
+    rng = np.random.default_rng(31)
+    f32_hits = 0
+    for _ in range(6):
+        prob = random_problem(rng, 14, 12)
+        prob.options = opts
+        outcome, obj, _ = solve_with_oracle(prob)
+        if outcome != "optimal":
+            continue
+        sol = prob.solve()
+        assert abs(sol.objective() - obj) <= 1e-7 * (1 + abs(obj))
+        if sol._engine.certified:
+            f32_hits += 1
+    assert f32_hits >= 2
+
+    # incremental API still works off the rebuilt exact f64 state
+    prob = Problem(OptimizationDirection.Maximize, options=opts)
+    x = prob.add_var(1.0, (0.0, None))
+    y = prob.add_var(2.0, (0.0, 3.0))
+    prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
+    sol = prob.solve()
+    assert abs(sol.objective() - 7.0) <= 1e-9
+    sol2 = sol.fix_var(x, 0.5)
+    assert abs(sol2.objective() - (0.5 + 2 * 3.0)) <= 1e-7
+
+
+def test_f32_midsize_falls_back_on_nonoptimal():
+    # An infeasible LP: the f32 first pass may claim INFEASIBLE but that claim
+    # is never adopted — the exact f64 engine must deliver the final status.
+    import minilp_tpu as mt
+
+    opts = SolverOptions(f32_midsize="always")
+    prob = Problem(OptimizationDirection.Minimize, options=opts)
+    x = prob.add_var(1.0, (0.0, 1.0))
+    prob.add_constraint(1.0 * x, ComparisonOp.Ge, 2.0)
+    with pytest.raises(mt.Infeasible):
+        prob.solve()
+
+
 def test_float32_certified_mode():
     # f32 on-device iteration + host f64 certification → 1e-9-grade answers.
     opts = SolverOptions(dtype="float32", feas_tol=1e-5, opt_tol=1e-5, pivot_tol=1e-6)

@@ -260,10 +260,11 @@ def _megakernel_eligible(can: CanonicalLP, opts: SolverOptions) -> bool:
         return True
     if opts.use_megakernel != "auto":
         raise ValueError(f"unknown use_megakernel {opts.use_megakernel!r}")
-    # auto: TPU backend and the whole working set fits VMEM comfortably
-    # (~16 MB/core; A + Binv at (256, 1024) f32 is ~1.3 MB).
+    # auto: TPU backend and the whole working set fits the kernel's raised
+    # 100 MB scoped-VMEM budget (v5e has 128 MB/core; A + Binv + temporaries
+    # at (512, 2048) f32 is ~25 MB) — validated on the chip at (512, 2048).
     return (
-        jax.default_backend() == "tpu" and can.M <= 256 and can.N <= 1024
+        jax.default_backend() == "tpu" and can.M <= 512 and can.N <= 2048
     )
 
 
@@ -307,6 +308,55 @@ def _state_from_certified_basis(
     )
 
 
+def _host_polish_from_basis(
+    can: CanonicalLP, basis: np.ndarray, vstat: np.ndarray, opts: SolverOptions
+) -> SimplexState | None:
+    """Finish an uncertified near-optimal f32 basis exactly: warm-start the
+    exact f64 XLA engine ON THE HOST CPU BACKEND from that basis.
+
+    Long f32 runs (padded M ≳ 400, ≳10k pivots) can terminate at a basis
+    that is near-optimal but fails exact certification — the drifted f32
+    reduced costs price no column as attractive a few pivots early.  The
+    basis is combinatorially a few exact pivots from the true optimum, so
+    polishing is cheap; running it on the CPU backend keeps the emulated-f64
+    TPU graph (minutes of remote compile, device faults at some shapes —
+    CLAUDE.md gotchas) out of the path entirely.  Returns the exact f64
+    OPTIMAL state placed on the default backend, or None (singular basis,
+    CPU backend unavailable, or a non-OPTIMAL polish outcome — the caller
+    falls back to the full exact engines).
+    """
+    import dataclasses
+
+    if opts.dtype != "float64":
+        return None
+    Bmat = can.A[:, basis].astype(np.float64)
+    try:
+        Binv0 = np.linalg.inv(Bmat)
+    except np.linalg.LinAlgError:
+        return None
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+    f64 = dataclasses.replace(opts, dtype="float64")
+    put = lambda v, dt: jax.device_put(jnp.asarray(np.asarray(v), dtype=dt), cpu)
+    try:
+        with jax.default_device(cpu):
+            state = _solve_jit(
+                put(can.A, jnp.float64), put(can.b, jnp.float64),
+                put(can.c, jnp.float64), put(can.lo, jnp.float64),
+                put(can.hi, jnp.float64),
+                put(vstat, jnp.int8), put(basis, jnp.int32),
+                opts=f64, Binv0=put(Binv0, jnp.float64),
+            )
+    except Exception:  # CPU lowering failure → exact-engine fallback
+        return None
+    if int(state.status) != int(Status.OPTIMAL):
+        return None
+    # re-home the polished state on the default backend for the handle
+    return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state)
+
+
 def _try_megakernel_solve(
     can: CanonicalLP, opts: SolverOptions, warm_state=None
 ) -> SimplexState | None:
@@ -342,10 +392,14 @@ def _try_megakernel_solve(
         )
     except Exception:  # lowering/backend failure → XLA engine fallback
         return None
-    if not bool(res.verified[0]):
-        return None
     basis = np.asarray(res.basis[0])
     vstat = np.asarray(res.vstat[0]).astype(np.int8)
+    if not bool(res.verified[0]):
+        # near-optimal f32 claim that failed exact certification: finish it
+        # with a few exact f64 pivots on the host CPU backend
+        if int(res.status[0]) == int(Status.OPTIMAL):
+            return _host_polish_from_basis(can, basis, vstat, opts)
+        return None
     return _state_from_certified_basis(
         can, basis, vstat, int(res.niter[0]), opts
     )
@@ -422,7 +476,8 @@ def _try_f32_certified_solve(
     # exact feasibility check of the rebuilt vertex (same test certify() runs)
     probe = EngineHandle(can, state64, None, opts)
     if not probe.certify():
-        return None
+        # near-optimal but not optimal: finish exactly on the host CPU backend
+        return _host_polish_from_basis(can, basis, vstat, opts)
     return state64
 
 

@@ -535,6 +535,12 @@ def simplex_kernel_call(
             pltpu.VMEM((1, m), F32),   # cB
             pltpu.VMEM((1, n), F32),   # Devex weights
         ],
+        # the default 16 MB scoped-VMEM budget caps the envelope at about
+        # (256, 1024); v5e has 128 MB/core, and the working set (A, Binv, a
+        # few (m, n) temporaries) fits (512, 2048) comfortably under 100 MB
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(A32, b32, c32, lo32, hi32, *warm_args)
 

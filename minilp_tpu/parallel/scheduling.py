@@ -107,19 +107,27 @@ def sort_for_packing(scores) -> np.ndarray:
 
 def solve_batch_packed_sorted(
     A, b, c, lo, hi, *, pack: int = 8, slack0=None, interpret: bool = False,
-    **kernel_kwargs,
+    scores=None, **kernel_kwargs,
 ):
     """`solve_batch_packed` with difficulty-sorted pack assignment.
 
-    Sorts the batch by `difficulty_scores`, solves packs of similar LPs (so
-    no pack idles on one straggler), and returns results un-permuted — the
-    output is positionally identical to the unsorted call.
+    Sorts the batch by `difficulty_scores` (or a caller-supplied `scores`
+    array), solves packs of similar LPs (so no pack idles on one straggler),
+    and returns results un-permuted — the output is positionally identical
+    to the unsorted call.
+
+    Measured (random dense LPs, m=16, nv=32, pack=8): the static proxy cuts
+    total pack cost Σ max(niter) by ~3–4% vs arrival order; a perfect
+    predictor would cut ~16%.  Simplex iteration counts are only weakly
+    predictable a priori (corr ≈ 0.5–0.6 for every static feature tried), so
+    for RE-SOLVE workloads pass last round's measured `res.niter` as
+    `scores` — measured counts are the strongest predictor available.
     """
     from ..ops.kernels.packed_simplex import solve_batch_packed
 
-    order = sort_for_packing(
-        difficulty_scores(A, b, c, lo, hi, slack0=slack0)
-    )
+    if scores is None:
+        scores = difficulty_scores(A, b, c, lo, hi, slack0=slack0)
+    order = sort_for_packing(scores)
     inv = np.empty_like(order)
     inv[order] = np.arange(order.size)
     take = lambda arr: np.asarray(arr)[order]

@@ -102,6 +102,23 @@ def test_heterogeneous_single_bucket_lane_padding():
         assert abs(res.obj - r.fun) <= 1e-9 * (1 + abs(r.fun))
 
 
+def test_pipelined_sorted_packs_matches_oracle():
+    """sort_packs=True must be answer-invariant in the pipelined driver:
+    lane i of each returned batch is LP i's certified answer."""
+    from minilp_tpu.parallel.batched import solve_batches_pipelined
+
+    batches = [make_random_batch_host(200 + k, batch=8, m=8, nv=16)
+               for k in range(2)]
+    results = solve_batches_pipelined(batches, pack=4, sort_packs=True)
+    assert len(results) == 2
+    for (A, b, c, lo, hi), res in zip(batches, results):
+        assert np.asarray(res.verified).all()
+        for i in range(8):
+            r = _oracle(A[i], b[i], c[i], lo[i], hi[i])
+            assert r.status == 0
+            assert abs(float(res.obj[i]) - r.fun) <= 1e-9 * (1 + abs(r.fun))
+
+
 def test_heterogeneous_infeasible_lane():
     """An infeasible LP in the mix gets its exact status, not a bogus optimum."""
     A, b, c, lo, hi = make_random_batch_host(9, batch=2, m=6, nv=10)

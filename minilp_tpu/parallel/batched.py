@@ -126,8 +126,10 @@ def solve_batches_pipelined(
     `sort_packs=True` orders each batch by the a-priori difficulty proxy
     (`parallel.scheduling.difficulty_scores`) before packing, so lockstep
     packs don't idle on stragglers (~3–4% fewer device iterations on random
-    dense batches); the sort runs on the prefetch thread (free wall-clock)
-    and results are un-permuted before returning.
+    dense batches); results are un-permuted before returning.  Only worth it
+    when the DEVICE is the bottleneck: the permuted host copy lengthens the
+    upload stage, so on link-bound setups (e.g. a tunneled chip — this
+    machine) it measurably loses more than it saves.  Default off.
     """
     from concurrent.futures import ThreadPoolExecutor
 

@@ -32,3 +32,21 @@ def pytest_addoption(parser):
         "--run-slow", action="store_true", default=False,
         help="run Netlib-scale slow tests",
     )
+
+
+def pytest_configure(config):
+    # Build the native MPS tokenizer once if the toolchain is present, so the
+    # ctypes-path tests run instead of skipping (native/build.sh is one g++).
+    import pathlib
+    import shutil
+    import subprocess
+
+    native = pathlib.Path(__file__).resolve().parent.parent / "native"
+    if not (native / "libmps_parser.so").exists() and shutil.which("g++"):
+        try:
+            subprocess.run(
+                ["sh", str(native / "build.sh")], check=True,
+                capture_output=True, timeout=120,
+            )
+        except (subprocess.SubprocessError, OSError):
+            pass  # tests fall back to the pure-Python parser path

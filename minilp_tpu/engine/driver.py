@@ -309,7 +309,8 @@ def _state_from_certified_basis(
 
 
 def _host_polish_from_basis(
-    can: CanonicalLP, basis: np.ndarray, vstat: np.ndarray, opts: SolverOptions
+    can: CanonicalLP, basis: np.ndarray, vstat: np.ndarray, opts: SolverOptions,
+    niter0: int = 0,
 ) -> SimplexState | None:
     """Finish an uncertified near-optimal f32 basis exactly: warm-start the
     exact f64 XLA engine ON THE HOST CPU BACKEND from that basis.
@@ -324,6 +325,10 @@ def _host_polish_from_basis(
     OPTIMAL state placed on the default backend, or None (singular basis,
     CPU backend unavailable, or a non-OPTIMAL polish outcome — the caller
     falls back to the full exact engines).
+
+    `niter0` is the pivot count of the f32 run that produced (basis, vstat);
+    it is added to the polished state's niter so `Solution.iterations()` and
+    SolveRecords report the full work, not just the few exact polish pivots.
     """
     import dataclasses
 
@@ -353,6 +358,7 @@ def _host_polish_from_basis(
         return None
     if int(state.status) != int(Status.OPTIMAL):
         return None
+    state = state._replace(niter=state.niter + jnp.int32(niter0))
     # re-home the polished state on the default backend for the handle
     return jax.tree.map(lambda x: jnp.asarray(np.asarray(x)), state)
 
@@ -398,7 +404,9 @@ def _try_megakernel_solve(
         # near-optimal f32 claim that failed exact certification: finish it
         # with a few exact f64 pivots on the host CPU backend
         if int(res.status[0]) == int(Status.OPTIMAL):
-            return _host_polish_from_basis(can, basis, vstat, opts)
+            return _host_polish_from_basis(
+                can, basis, vstat, opts, niter0=int(res.niter[0])
+            )
         return None
     return _state_from_certified_basis(
         can, basis, vstat, int(res.niter[0]), opts
@@ -477,7 +485,9 @@ def _try_f32_certified_solve(
     probe = EngineHandle(can, state64, None, opts)
     if not probe.certify():
         # near-optimal but not optimal: finish exactly on the host CPU backend
-        return _host_polish_from_basis(can, basis, vstat, opts)
+        return _host_polish_from_basis(
+            can, basis, vstat, opts, niter0=int(state.niter)
+        )
     return state64
 
 

@@ -52,33 +52,25 @@ def solve_batch_sharded(mesh, A, b, c, lo, hi, vstat0, basis0, opts) -> SimplexS
     return solve_batch(*args, opts=opts)
 
 
-def solve_batch_certified(A, b, c, lo, hi, *, slack0=None, max_iter: int = 2000):
-    """Batched solve where EVERY lane's answer is exact and certified.
+def resolve_unverified_host(res, A, b, c, lo, hi):
+    """Exact scipy-HiGHS host re-solve of every lane whose f32 basis failed
+    f64 certification — the shared tail of all certified batched entry points.
 
-    Primary path: the Pallas f32 megakernel (one grid program per LP, VMEM
-    resident) + exact f64 host recompute of each discovered basis.  The rare
-    lanes whose f32 basis fails f64 certification (typically <0.1%) are
-    re-solved exactly on the host (scipy-HiGHS — the same independent oracle
-    the test suite gates on), so the returned `verified` mask is all-True
-    unless a lane is genuinely pathological.  This is the TPU-safe batched
-    entry point: it never touches the device's emulated-f64 arithmetic.
+    Returns `res` with the uncertified lanes replaced by the oracle's exact
+    answers (host numpy arrays), so the `verified` mask is all-True unless a
+    lane is genuinely pathological for HiGHS too.
     """
     import numpy as np
     from scipy.optimize import linprog
 
-    from ..ops.kernels.batched_simplex import solve_batch_pallas
     from ..status import Status
 
-    interpret = jax.default_backend() != "tpu"
-    res = solve_batch_pallas(
-        A, b, c, lo, hi, slack0=slack0, max_iter=max_iter, interpret=interpret
-    )
     verified = np.asarray(res.verified).copy()
     if verified.all():
         return res
-    obj = np.asarray(res.obj).copy()
-    x = np.asarray(res.x).copy()
-    status = np.asarray(res.status).copy()
+    obj = np.array(res.obj)
+    x = np.array(res.x)
+    status = np.array(res.status)
     An, bn, cn, lon, hin = [np.asarray(v, dtype=np.float64) for v in (A, b, c, lo, hi)]
     for i in np.flatnonzero(~verified):
         bounds = [
@@ -96,6 +88,26 @@ def solve_batch_certified(A, b, c, lo, hi, *, slack0=None, max_iter: int = 2000)
             status[i], verified[i] = int(Status.UNBOUNDED), True
     # host numpy (not device arrays): these are final host-side answers
     return res._replace(obj=obj, x=x, status=status, verified=verified)
+
+
+def solve_batch_certified(A, b, c, lo, hi, *, slack0=None, max_iter: int = 2000):
+    """Batched solve where EVERY lane's answer is exact and certified.
+
+    Primary path: the Pallas f32 megakernel (one grid program per LP, VMEM
+    resident) + exact f64 host recompute of each discovered basis.  The rare
+    lanes whose f32 basis fails f64 certification (typically <0.1%) are
+    re-solved exactly on the host (scipy-HiGHS — the same independent oracle
+    the test suite gates on), so the returned `verified` mask is all-True
+    unless a lane is genuinely pathological.  This is the TPU-safe batched
+    entry point: it never touches the device's emulated-f64 arithmetic.
+    """
+    from ..ops.kernels.batched_simplex import solve_batch_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    res = solve_batch_pallas(
+        A, b, c, lo, hi, slack0=slack0, max_iter=max_iter, interpret=interpret
+    )
+    return resolve_unverified_host(res, A, b, c, lo, hi)
 
 
 def solve_batches_pipelined(
@@ -205,34 +217,15 @@ def solve_batches_pipelined(
             basis, vstat = basis[inv], vstat[inv]
             status, niter = status[inv], niter[inv]
         obj, verified, x = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
-        # rare uncertified lanes (<0.1%): exact host re-solve, so callers get
-        # an all-verified batch (same guarantee as solve_batch_certified)
-        if not verified.all():
-            from scipy.optimize import linprog
-
-            from ..status import Status as St
-
-            for i in np.flatnonzero(~verified):
-                bounds = [
-                    (lo[i, j] if np.isfinite(lo[i, j]) else None,
-                     hi[i, j] if np.isfinite(hi[i, j]) else None)
-                    for j in range(n)
-                ]
-                r = linprog(c[i], A_eq=A[i], b_eq=b[i], bounds=bounds,
-                            method="highs")
-                if r.status == 0:
-                    obj[i], x[i] = r.fun, r.x
-                    status[i], verified[i] = int(St.OPTIMAL), True
-                elif r.status == 2:
-                    status[i], verified[i] = int(St.INFEASIBLE), True
-                elif r.status == 3:
-                    status[i], verified[i] = int(St.UNBOUNDED), True
         from ..ops.kernels.batched_simplex import PallasBatchResult
 
-        return PallasBatchResult(
+        res = PallasBatchResult(
             basis=basis, vstat=vstat, status=status, niter=niter,
             obj=obj, verified=verified, x=x,
         )
+        # rare uncertified lanes (<0.1%): exact host re-solve, so callers get
+        # an all-verified batch (same guarantee as solve_batch_certified)
+        return resolve_unverified_host(res, A, b, c, lo, hi)
 
     results = []
     prev = None

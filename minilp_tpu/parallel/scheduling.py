@@ -21,10 +21,11 @@ components shaped by how the pack-k megakernel executes:
   a fixed [0,0] slack basic at 0; padding columns are fixed [0,0] — provably
   never active), and solves each bucket as one packed batch.
 
-Both entry points keep the certification contract of the batched drivers:
-f32 kernel iterate, exact f64 host verification of every lane, scipy-HiGHS
-re-solve of the rare uncertified lanes — callers always get exact, certified
-answers in the ORIGINAL input order and column layout.
+Both entry points keep the certification contract of the batched drivers
+(`parallel.batched.resolve_unverified_host`): f32 kernel iterate, exact f64
+host verification of every lane, scipy-HiGHS re-solve of the rare uncertified
+lanes — callers always get exact, certified answers in the ORIGINAL input
+order and column layout.
 """
 
 from __future__ import annotations
@@ -45,12 +46,19 @@ class LPResult(NamedTuple):
 
 
 def _split_slack(A, b, c, lo, hi, slack0):
+    """Structural column count for layout [structural | identity slack | pad].
+
+    Padding columns beyond slack0+m (inert FIXED [0,0] columns, e.g. from
+    `_assemble_packed`'s lane alignment) are accepted when `slack0` is given
+    explicitly; with slack0=None the layout must be exactly [structural |
+    slack] (nothing to infer the pad width from).
+    """
     m, n = A.shape
     if slack0 is None:
         slack0 = n - m
-    if n != slack0 + m:
+    if n < slack0 + m:
         raise ValueError(
-            f"expected layout [structural | identity slack]: n={n}, "
+            f"expected layout [structural | identity slack | pad]: n={n}, "
             f"slack0={slack0}, m={m}"
         )
     return int(slack0)
@@ -85,7 +93,7 @@ def difficulty_scores(A, b, c, lo, hi, *, slack0=None, tol: float = 1e-9):
     # same rule the engine uses (status.initial_vstat)
     xN = np.where(np.isfinite(loS), loS, np.where(np.isfinite(hiS), hiS, 0.0))
     xB = b - np.einsum("bmn,bn->bm", A[:, :, :s0], xN)
-    loB, hiB = lo[:, s0:], hi[:, s0:]
+    loB, hiB = lo[:, s0:s0 + m], hi[:, s0:s0 + m]
     infeas = ((xB < loB - tol) | (xB > hiB + tol)).sum(axis=1)
 
     # reduced costs at the all-slack basis with zero slack costs are just the
@@ -124,6 +132,7 @@ def solve_batch_packed_sorted(
     `scores` — measured counts are the strongest predictor available.
     """
     from ..ops.kernels.packed_simplex import solve_batch_packed
+    from .batched import resolve_unverified_host
 
     if scores is None:
         scores = difficulty_scores(A, b, c, lo, hi, slack0=slack0)
@@ -136,11 +145,14 @@ def solve_batch_packed_sorted(
         pack=pack, slack0=slack0, interpret=interpret, **kernel_kwargs,
     )
     back = lambda arr: np.asarray(arr)[inv]
-    return res._replace(
+    res = res._replace(
         basis=back(res.basis), vstat=back(res.vstat), status=back(res.status),
         niter=back(res.niter), obj=back(res.obj),
         verified=back(res.verified), x=back(res.x),
     )
+    # same certification contract as the other batched drivers: exact host
+    # re-solve of any lane whose f32 basis failed f64 certification
+    return resolve_unverified_host(res, A, b, c, lo, hi)
 
 
 # ---------------------------------------------------------------------------

@@ -37,6 +37,23 @@ def test_difficulty_scores_shape_and_determinism():
     assert sorted(order.tolist()) == list(range(12))
 
 
+def test_difficulty_scores_accepts_padded_columns():
+    """Layout [structural | identity slack | pad] (what `_assemble_packed`
+    produces) must score identically to the unpadded layout when slack0 is
+    given explicitly — the sort_packs path of the pipelined driver feeds
+    padded batches."""
+    A, b, c, lo, hi = make_random_batch_host(7, batch=6, m=8, nv=12)
+    s_ref = difficulty_scores(A, b, c, lo, hi)
+    pad = 4
+    B, m, n = A.shape
+    Ap = np.concatenate([A, np.zeros((B, m, pad))], axis=2)
+    cp = np.concatenate([c, np.zeros((B, pad))], axis=1)
+    lop = np.concatenate([lo, np.zeros((B, pad))], axis=1)
+    hip = np.concatenate([hi, np.zeros((B, pad))], axis=1)
+    s_pad = difficulty_scores(Ap, b, cp, lop, hip, slack0=12)
+    np.testing.assert_array_equal(s_ref, s_pad)
+
+
 def test_sorted_packing_matches_unsorted_and_oracle():
     """Sorting must be answer-invariant: lane i of the sorted solve is the
     same LP i's certified answer, matching the oracle."""

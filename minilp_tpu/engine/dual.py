@@ -12,8 +12,24 @@ Per iteration (all dense, fixed-shape):
   3. dual ratio test over non-basic columns: θ_j = |d_j|/|α̃_j| among columns
      whose movement shrinks the violation (α̃ = e·α with e = ±1 the needed
      direction of x_{B_r}); the minimizer keeps every reduced cost on its
-     feasible side;
-  4. FTRAN of the entering column, PFI inverse update, incremental d/x updates.
+     feasible side.  Harris-style two-pass relaxation (mirrors the primal
+     `ops/ratio.py`): pass 1 relaxes every reduced cost by the dual
+     feasibility tolerance to get a maximal admissible step, pass 2 picks the
+     largest |α| among candidates under it — a numerically strong pivot under
+     dual degeneracy at the price of ≤opt_tol transient dual infeasibility,
+     absorbed by the periodic exact refactorization;
+  4. *bound flip*: when the entering variable's unclamped step would overshoot
+     its own opposite bound (|Δq| > hi_q − lo_q), it flips there instead —
+     basic values update by the traversed range, the basis, inverse and
+     reduced costs stay put, the violation at row r strictly shrinks, and the
+     next iteration continues with the remaining candidates (the reference's
+     bounded-variable dual does the same, `src/solver.rs
+     (restore_feasibility)` [CODE]; the primal side's flip is in
+     `ops/ratio.py`).  Without this, a boxed entering variable lands in the
+     basis outside its own bounds and must be pivoted back out later — extra
+     pivots and thrash on box-heavy instances;
+  5. otherwise FTRAN of the entering column, PFI inverse update, incremental
+     d/x updates.
 
 No eligible entering column means the dual is unbounded ⇒ the primal is
 INFEASIBLE (exactly how the reference reports an infeasible cut/fix [CODE]).
@@ -81,7 +97,17 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
 
             def pivot(s2: SimplexState) -> SimplexState:
                 theta_min = jnp.min(theta)
-                tie = theta <= theta_min * (1.0 + opts.ratio_tie_rel) + opts.ratio_tie_abs
+                # Harris two-pass (mirrors ops/ratio.py): pass 1 relaxes each
+                # reduced cost by the dual feasibility tolerance; pass 2 picks
+                # the largest |α| among candidates admissible under the
+                # relaxed step, widened by the legacy tie window.
+                relaxed = jnp.where(
+                    elig, (jnp.abs(d) + opts.opt_tol) / jnp.abs(alpha), jnp.inf
+                )
+                t_relaxed = jnp.min(relaxed)
+                tie = (theta <= t_relaxed) | (
+                    theta <= theta_min * (1.0 + opts.ratio_tie_rel) + opts.ratio_tie_abs
+                )
                 tie = tie & elig
                 neg_inf = jnp.array(-jnp.inf, dtype=xB.dtype)
                 q_stab = jnp.argmax(jnp.where(tie, jnp.abs(alpha), neg_inf))
@@ -93,6 +119,27 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
                 # primal step of the entering variable
                 dq_step = (xB[r] - target) / alpha[q]
                 w = ftran(Binv, A[:, q])
+
+                # -- bound flip: entering step clamped at its own range -------
+                # AT_LOWER always steps up, AT_UPPER always steps down (the
+                # eligibility signs guarantee it), so |dq_step| > hi_q − lo_q
+                # means the opposite bound blocks first.  FREE vars have an
+                # infinite range and never flip; ties prefer the cheaper flip
+                # (no basis change), as in the primal test.
+                rng_q = hi[q] - lo[q]
+                flip = rng_q <= jnp.abs(dq_step)
+                step_f = jnp.sign(dq_step) * rng_q
+                xB_f = xB - step_f * w
+                vstat_f = vstat.at[q].set(
+                    jnp.where(
+                        vstat[q] == VarStat.AT_LOWER,
+                        jnp.int8(VarStat.AT_UPPER),
+                        jnp.int8(VarStat.AT_LOWER),
+                    )
+                )
+                obj_f = obj + d[q] * step_f
+
+                # -- basis exchange -------------------------------------------
                 enter_val = _entering_value(vstat[q], lo[q], hi[q]) + dq_step
                 xB2 = (xB - dq_step * w).at[r].set(enter_val)
 
@@ -112,7 +159,12 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
                 d2 = jnp.where(vstat2 == VarStat.BASIC, 0.0, d2)
                 obj2 = obj + d[q] * dq_step
                 return s2._replace(
-                    basis=basis2, vstat=vstat2, xB=xB2, d=d2, Binv=Binv2, obj=obj2
+                    basis=jnp.where(flip, basis, basis2),
+                    vstat=jnp.where(flip, vstat_f, vstat2),
+                    xB=jnp.where(flip, xB_f, xB2),
+                    d=jnp.where(flip, d, d2),
+                    Binv=jnp.where(flip, Binv, Binv2),
+                    obj=jnp.where(flip, obj_f, obj2),
                 )
 
             return lax.cond(jnp.any(elig), pivot, no_entering, st)

@@ -14,7 +14,9 @@ lo ≤ x ≤ hi  (free equality duals y):
 with τ = ω/‖A‖₂, σ = 1/(ω‖A‖₂) (‖A‖₂ from power iteration).  Every operation
 is a matvec or elementwise pass — pure MXU/VPU work that XLA fuses; the same
 code vmaps over scenario batches and row-shards over a mesh with a psum on the
-matvec partials (SURVEY.md §6.7).
+matvec partials (SURVEY.md §6.7) — the distributed form lives in
+parallel/pdhg_sharded.py, which re-enters `_run_pdhg` with row-block operator
+wrappers and a psum/pmax `RowReduce`.
 
 PDLP-grade machinery (all in-graph, fixed-shape):
 
@@ -45,7 +47,7 @@ sparse instances where densified A would not fit HBM.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +56,36 @@ from jax.experimental import sparse as jsparse
 
 from ..options import SolverOptions
 from ..status import Status
+
+
+class RowReduce(NamedTuple):
+    """Reductions over the row (constraint) dimension of the problem.
+
+    Single-device, every row-space vector is whole and the reductions are
+    identities.  Under a row-sharded mesh (parallel/pdhg_sharded.py, SURVEY.md
+    §6.7 SP/CP analog) each device holds a block of rows and these become
+    `lax.psum` / `lax.pmax` over the mesh axis — the ONLY two collectives the
+    distributed loop needs.  Both are deterministic for a fixed compilation,
+    which keeps the residual reductions (and hence restart/termination
+    decisions) bit-identical run to run.
+    """
+
+    sum: Callable  # scalar partial-sum combiner (psum over the row axis)
+    max: Callable  # elementwise max combiner (pmax; used for column maxima)
+
+
+#: identity reducer — the single-device / fully-replicated case
+LOCAL_ROWS = RowReduce(sum=lambda s: s, max=lambda v: v)
+
+
+def _ynorm(v, rr: RowReduce):
+    """‖v‖₂ of a (possibly row-sharded) row-space vector."""
+    return jnp.sqrt(rr.sum(jnp.sum(v * v)))
+
+
+def _ydot(u, v, rr: RowReduce):
+    """u·v for (possibly row-sharded) row-space vectors."""
+    return rr.sum(jnp.sum(u * v))
 
 
 class PdhgState(NamedTuple):
@@ -83,11 +115,13 @@ def _spectral_norm(A, AT, n, dtype, iters: int = 30) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(jnp.linalg.norm(AT @ (A @ v)), 1e-30))
 
 
-def _ruiz_dense(A: jnp.ndarray, iters: int):
+def _ruiz_dense(A: jnp.ndarray, iters: int, rr: RowReduce = LOCAL_ROWS):
     """Ruiz row/column equilibration scalings (d_r, d_c) for dense A.
 
     Returns positive vectors such that diag(d_r)·A·diag(d_c) has row and
-    column max-norms ≈ 1.  Zero rows/columns (padding) keep scale 1.
+    column max-norms ≈ 1.  Zero rows/columns (padding) keep scale 1.  When A
+    is a row block of a sharded matrix, `rr.max` combines the per-shard column
+    maxima (d_r stays block-local, d_c is replicated).
     """
     M, N = A.shape
     dtype = A.dtype
@@ -98,7 +132,7 @@ def _ruiz_dense(A: jnp.ndarray, iters: int):
         dr, dc = carry
         As = jnp.abs(A) * dr[:, None] * dc[None, :]
         rmax = jnp.max(As, axis=1)
-        cmax = jnp.max(As, axis=0)
+        cmax = rr.max(jnp.max(As, axis=0))
         dr2 = dr / jnp.sqrt(jnp.where(rmax > 0, rmax, 1.0))
         dc2 = dc / jnp.sqrt(jnp.where(cmax > 0, cmax, 1.0))
         return dr2, dc2
@@ -130,7 +164,8 @@ def _ruiz_bcoo(A: jsparse.BCOO, iters: int):
     return dr, dc
 
 
-def _kkt_error(Axs, ATys, xs, ys, b, c, lo, hi, dr, dc, scale_b, scale_c, feas_tol):
+def _kkt_error(Axs, ATys, xs, ys, b, c, lo, hi, dr, dc, scale_b, scale_c,
+               feas_tol, rr: RowReduce = LOCAL_ROWS):
     """Relative KKT error in the ORIGINAL space from scaled-space quantities.
 
     Args are the scaled matvec results (A'x', A'ᵀy') and scaled iterates; the
@@ -140,7 +175,7 @@ def _kkt_error(Axs, ATys, xs, ys, b, c, lo, hi, dr, dc, scale_b, scale_c, feas_t
     """
     x = dc * xs
     r_vec = (Axs - b) / dr          # original A x − b   (b here is scaled b')
-    r_p = jnp.linalg.norm(r_vec) / scale_b
+    r_p = _ynorm(r_vec, rr) / scale_b
     red = (c - ATys) / dc           # original c − Aᵀy   (c here is scaled c')
     lo_o = lo * dc                  # original bounds (lo/hi args are scaled)
     hi_o = hi * dc
@@ -156,13 +191,14 @@ def _kkt_error(Axs, ATys, xs, ys, b, c, lo, hi, dr, dc, scale_b, scale_c, feas_t
     lo_f = jnp.where(jnp.isfinite(lo_o), lo_o, 0.0)
     hi_f = jnp.where(jnp.isfinite(hi_o), hi_o, 0.0)
     contrib = jnp.where(red > 0, red * lo_f, red * hi_f)
-    dobj = b @ ys + jnp.sum(contrib)  # bᵀy = b'ᵀy' (scaled pairing)
+    dobj = _ydot(b, ys, rr) + jnp.sum(contrib)  # bᵀy = b'ᵀy' (scaled pairing)
     pobj = c @ xs                             # cᵀx = c'ᵀx'
     gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
     return jnp.maximum(jnp.maximum(r_p, r_d), gap)
 
 
-def _certificates(A, AT, dx_s, dy_s, b, c, lo, hi, dr, dc, tol):
+def _certificates(A, AT, dx_s, dy_s, b, c, lo, hi, dr, dc, tol,
+                  rr: RowReduce = LOCAL_ROWS):
     """Farkas / recession-ray tests on the (scaled-space) displacement.
 
     Returns (primal_infeasible, unbounded) booleans.  All quantities are
@@ -177,7 +213,7 @@ def _certificates(A, AT, dx_s, dy_s, b, c, lo, hi, dr, dc, tol):
       one-sided) and c·dx < −tol.
     """
     # --- dual (Farkas) ray → primal infeasibility -----------------------------
-    y_norm = jnp.linalg.norm(dy_s * dr)  # ‖y‖ in original space
+    y_norm = _ynorm(dy_s * dr, rr)  # ‖y‖ in original space
     y_unit = jnp.where(y_norm > 0, dy_s / jnp.maximum(y_norm, 1e-30), 0.0)
     q = (AT @ y_unit) / dc               # original Aᵀŷ
     lo_o = lo * dc
@@ -202,14 +238,14 @@ def _certificates(A, AT, dx_s, dy_s, b, c, lo, hi, dr, dc, tol):
         jnp.where(fin_lo, qt * lo_f, jnp.where(fin_hi, qt * hi_f, 0.0)),
     )
     support = jnp.sum(s)
-    by = (b / dr) @ y_unit               # original bᵀŷ (b arg is scaled b')
+    by = _ydot(b / dr, y_unit, rr)       # original bᵀŷ (b arg is scaled b')
     # strict, scale-free margin requirement (a wrong INFEASIBLE is a lie —
     # the margin must clear a much higher bar than the cone residual)
     margin_ok = (by - support) > 1e2 * tol * (1.0 + jnp.abs(by) + jnp.abs(support))
     primal_infeas = cone_ok & margin_ok & (y_norm > 0)
 
     # --- primal recession ray → unboundedness ---------------------------------
-    dx_norm = jnp.linalg.norm(dx_s * dc)
+    dx_norm = jnp.linalg.norm(dx_s * dc)  # x-space: replicated, local norm ok
     dx_unit = jnp.where(dx_norm > 0, dx_s / jnp.maximum(dx_norm, 1e-30), 0.0)
     Adx = (A @ dx_unit) / dr             # original A·d̂x
     dxo = dx_unit * dc
@@ -221,22 +257,27 @@ def _certificates(A, AT, dx_s, dy_s, b, c, lo, hi, dr, dc, tol):
     rec_viol = rec_viol + jnp.where(
         ~fin_lo & fin_hi, jnp.maximum(dxo, 0.0), 0.0
     )
-    ray_ok = (jnp.linalg.norm(Adx) <= tol) & (jnp.max(rec_viol) <= tol)
+    ray_ok = (_ynorm(Adx, rr) <= tol) & (jnp.max(rec_viol) <= tol)
     descent = (c / dc) @ dx_unit < -1e2 * tol * (1.0 + jnp.linalg.norm(c / dc))
     unbounded = ray_ok & descent & (dx_norm > 0)
     return primal_infeas, unbounded
 
 
-def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0):
+def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0,
+              rr: RowReduce = LOCAL_ROWS):
     """The restarted-average adaptive-weight PDHG loop (scaled space).
 
-    `A`/`AT` may be dense arrays or BCOO matrices — only `@` is used.
+    `A`/`AT` may be dense arrays, BCOO matrices, or row-sharded operator
+    wrappers (parallel/pdhg_sharded.py) — only `@` is used.  Under sharding,
+    all row-space args (A's rows, b, dr) are local blocks and `rr` carries the
+    psum/pmax collectives; every scalar this loop branches on is reduced
+    through `rr`, so all shards take identical restart/termination decisions.
     Returns a PdhgState whose x, y are in the ORIGINAL space.
     """
     M, N = b.shape[0], c.shape[0]
     dtype = b.dtype
     norm_a = _spectral_norm(A, AT, N, dtype)
-    scale_b = 1.0 + jnp.linalg.norm(b / dr)
+    scale_b = 1.0 + _ynorm(b / dr, rr)
     scale_c = 1.0 + jnp.linalg.norm(c / dc)
     tol = opts.feas_tol
     cert_tol = opts.pdhg_infeas_tol
@@ -268,9 +309,9 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0):
         x_avg = xs / inner_cnt
         y_avg = ys / inner_cnt
         err_cur = _kkt_error(A @ x, AT @ y, x, y, b, c, lo, hi, dr, dc,
-                             scale_b, scale_c, tol)
+                             scale_b, scale_c, tol, rr)
         err_avg = _kkt_error(A @ x_avg, AT @ y_avg, x_avg, y_avg, b, c, lo,
-                             hi, dr, dc, scale_b, scale_c, tol)
+                             hi, dr, dc, scale_b, scale_c, tol, rr)
         use_avg = err_avg < err_cur
         err_best = jnp.minimum(err_avg, err_cur)
         x_best = jnp.where(use_avg, x_avg, x)
@@ -287,11 +328,11 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0):
         x_one = jnp.clip(x - tau * (c - AT @ y), lo_c, hi_c)
         y_one = y + sig * (b - A @ (2.0 * x_one - x))
         p_inf1, unb1 = _certificates(
-            A, AT, x_one - x, y_one - y, b, c, lo, hi, dr, dc, cert_tol
+            A, AT, x_one - x, y_one - y, b, c, lo, hi, dr, dc, cert_tol, rr
         )
         p_inf2, unb2 = _certificates(
             A, AT, x_avg - st.x_rst, y_avg - st.y_rst, b, c, lo, hi, dr, dc,
-            cert_tol
+            cert_tol, rr
         )
         p_inf = p_inf1 | p_inf2
         unb = unb1 | unb2
@@ -303,7 +344,7 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0):
         restart = done | (err_best <= opts.pdhg_restart_beta * st.last_err)
         # adaptive primal weight at adopted restarts (PDLP θ-smoothing)
         d_x = jnp.linalg.norm((x_best - st.x_rst) * dc)
-        d_y = jnp.linalg.norm((y_best - st.y_rst) * dr)
+        d_y = _ynorm((y_best - st.y_rst) * dr, rr)
         can_fit = (d_x > 1e-12) & (d_y > 1e-12)
         th = opts.pdhg_weight_theta
         om_fit = jnp.exp(
@@ -357,10 +398,10 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0):
                        y_rst=st.y_rst * dr)
 
 
-def _omega0(b, c, dr, dc, opts: SolverOptions):
+def _omega0(b, c, dr, dc, opts: SolverOptions, rr: RowReduce = LOCAL_ROWS):
     if opts.pdhg_omega is not None:
         return jnp.asarray(opts.pdhg_omega, dtype=b.dtype)
-    nb = jnp.linalg.norm(b / dr)
+    nb = _ynorm(b / dr, rr)
     nc = jnp.linalg.norm(c / dc)
     ok = (nb > 1e-12) & (nc > 1e-12)
     return jnp.where(ok, nc / jnp.maximum(nb, 1e-30), 1.0)

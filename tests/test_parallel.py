@@ -119,6 +119,67 @@ def test_scaling_harness_smoke(mesh8):
     assert 0 < r["efficiency"] < 4
 
 
+@pytest.mark.parametrize("seed", range(3))
+def test_row_sharded_pdhg_matches_unsharded(mesh8, seed):
+    # SP/CP analog (SURVEY.md §6.7): PDHG with the rows of A sharded over the
+    # 'model' axis must reproduce the single-device engine's status and
+    # solution.  M=11 is NOT divisible by the 2-wide axis → exercises the
+    # inert zero-row padding.
+    from minilp_tpu.engine.pdhg import solve_pdhg
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.parallel.pdhg_sharded import solve_pdhg_sharded
+
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-7)
+    args = batched.make_random_batch(jax.random.PRNGKey(500 + seed), 1, 11, 20)
+    A, b, c, lo, hi, _, _ = [x[0] for x in args]
+    ref = solve_pdhg(A, b, c, lo, hi, opts=opts)
+    got = solve_pdhg_sharded(A, b, c, lo, hi, opts, mesh8)
+    assert int(ref.status) == int(Status.OPTIMAL)
+    assert int(got.status) == int(Status.OPTIMAL)
+    # identical math, different reduction ORDER (psum vs single sum) — bound
+    # the float-non-associativity drift, not bitwise equality
+    obj_ref = float(np.asarray(c) @ np.asarray(ref.x))
+    obj_got = float(np.asarray(c) @ np.asarray(got.x))
+    assert abs(obj_got - obj_ref) <= 1e-6 * (1 + abs(obj_ref))
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.y), np.asarray(ref.y), rtol=1e-4, atol=1e-6
+    )
+
+
+def test_row_sharded_pdhg_deterministic(mesh8):
+    # fixed compilation ⇒ fixed psum order ⇒ bit-identical repeat runs
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.parallel.pdhg_sharded import solve_pdhg_sharded
+
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-7)
+    args = batched.make_random_batch(jax.random.PRNGKey(900), 1, 12, 16)
+    A, b, c, lo, hi, _, _ = [x[0] for x in args]
+    a_ = solve_pdhg_sharded(A, b, c, lo, hi, opts, mesh8)
+    b_ = solve_pdhg_sharded(A, b, c, lo, hi, opts, mesh8)
+    np.testing.assert_array_equal(np.asarray(a_.x), np.asarray(b_.x))
+    np.testing.assert_array_equal(np.asarray(a_.y), np.asarray(b_.y))
+    assert int(a_.niter) == int(b_.niter)
+
+
+def test_row_sharded_pdhg_detects_infeasible(mesh8):
+    # the Farkas-certificate path reduces through the same psum machinery:
+    # x >= 0 (bound) vs x + s = -1, s >= 0 (row) has no feasible point
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.parallel.pdhg_sharded import solve_pdhg_sharded
+
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-7)
+    A = jnp.asarray([[1.0, 1.0], [0.0, 1.0]])  # second row keeps M=2 honest
+    b = jnp.asarray([-1.0, 5.0])
+    c = jnp.asarray([1.0, 0.0])
+    lo = jnp.zeros(2)
+    hi = jnp.asarray([jnp.inf, jnp.inf])
+    st = solve_pdhg_sharded(A, b, c, lo, hi, opts, mesh8)
+    assert int(st.status) == int(Status.INFEASIBLE)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_column_sharded_full_solve_matches_engine(mesh8, seed):
     # The full TP solve loop (pricing + FTRAN + pivot work column-sharded)

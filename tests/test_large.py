@@ -1,19 +1,74 @@
-"""Netlib-scale validation (25fv47-like dimensions) — slow, CPU.
+"""Netlib-shape validation gate (C8 analog, SURVEY.md §5 #3).
 
-Run explicitly with:  pytest tests/test_large.py -m slow --run-slow
-(kept out of the default gate; the driver's bench covers scale on TPU).
+The reference gates on the real Netlib suite (`tests/` + vendored `*.mps.gz`
+[CODE]); that data is not on this machine, so this gate solves synthetic
+instances at the SAME shapes and sparsities as the headline Netlib problems
+(utils/synth.py) against the scipy-HiGHS oracle — in the DEFAULT suite, both
+engines:
+
+* simplex, f32-iterate + f64-certify (the mid-size TPU path, forced on CPU
+  with f32_midsize="always"): certified exact optimum, ≤1e-9 relative;
+* PDHG to KKT 1e-6: ≤1e-5 relative objective agreement.
+
+maros-r7 scale (3136×9408) stays behind --run-slow (minutes on CPU); on the
+chip it is covered by bench.py's netlib-shape line.
 """
 
 import numpy as np
 import pytest
 
+from minilp_tpu.options import SolverOptions
+from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
+
 from .oracle import random_problem, solve_with_oracle
 
-pytestmark = pytest.mark.slow
+F32_CERT = SolverOptions(f32_midsize="always", use_megakernel="never")
+PDHG = SolverOptions(engine="pdhg", feas_tol=1e-6, pdhg_max_iter=600_000)
 
 
+def _instance(name: str, seed: int):
+    m, nv, d = NETLIB_SHAPES[name]
+    prob = netlib_shaped_problem(m, nv, d, seed=seed)
+    outcome, obj, _x = solve_with_oracle(prob)
+    assert outcome == "optimal"  # generator plants a feasible bounded LP
+    return prob, obj
+
+
+@pytest.mark.parametrize("name", ["25fv47", "fit1p"])
+def test_netlib_shape_f32_certified(name):
+    prob, obj = _instance(name, seed=1)
+    prob.options = F32_CERT
+    sol = prob.solve()
+    handle = sol._engine
+    assert handle.certified is True  # exact f64 vertex adopted, not f32 claim
+    assert abs(sol.objective() - obj) <= 1e-9 * (1 + abs(obj))
+    assert handle.iterations() > 0
+
+
+@pytest.mark.parametrize("name", ["25fv47", "fit1p"])
+def test_netlib_shape_pdhg(name):
+    prob, obj = _instance(name, seed=2)
+    prob.options = PDHG
+    sol = prob.solve()
+    assert abs(sol.objective() - obj) <= 1e-5 * (1 + abs(obj))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif("not config.getoption('--run-slow', default=False)")
+def test_maros_r7_shape_f32_certified():
+    # 3136×9408 @ ~0.5% — the reference's biggest headline instance
+    prob, obj = _instance("maros-r7", seed=1)
+    prob.options = F32_CERT
+    sol = prob.solve()
+    assert sol._engine.certified is True
+    assert abs(sol.objective() - obj) <= 1e-9 * (1 + abs(obj))
+
+
+@pytest.mark.slow
 @pytest.mark.skipif("not config.getoption('--run-slow', default=False)")
 def test_800x1500_sparse_boxed():
+    # legacy round-1 gate: mixed-sense random sparse instance through the
+    # default engine selection (f64 XLA engine on CPU)
     rng = np.random.default_rng(777)
     prob = random_problem(
         rng, nv=1500, m=800, density=0.01,

@@ -120,6 +120,152 @@ def test_scaling_harness_smoke(mesh8):
 
 
 @pytest.mark.parametrize("seed", range(3))
+def test_sharded_warm_state_and_dual_resolve(mesh8, seed):
+    # SURVEY.md §4.2 distributed: cold sharded solve returns the maintained
+    # inverse; add_constraint (host row activation) then re-solves through the
+    # column-sharded DUAL simplex and must match the single-device engine.
+    from minilp_tpu import ComparisonOp
+    from minilp_tpu.engine import incremental
+    from minilp_tpu.engine.driver import EngineHandle
+    from minilp_tpu.engine.dual import resolve_dual
+    from minilp_tpu.engine.primal import solve_canonical
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.parallel import mesh as mesh_mod
+    from minilp_tpu.parallel.sharded_engine import (
+        resolve_dual_sharded, solve_canonical_sharded,
+    )
+    from .oracle import random_problem
+
+    mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
+    rng = np.random.default_rng(7100 + seed)
+    prob = random_problem(rng, nv=12, m=6, frac_free=0.0, frac_boxed=1.0,
+                          frac_fixed=0.0)
+    opts = SolverOptions(presolve=False, max_iter=2000)
+    can = canonicalize(prob, extra_row_capacity=4, dtype=np.float64)
+    args = (jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+            jnp.asarray(can.lo), jnp.asarray(can.hi))
+    state = solve_canonical(*args, jnp.asarray(can.vstat0),
+                            jnp.asarray(can.basis0), opts)
+    if int(state.status) != int(Status.OPTIMAL):
+        pytest.skip("instance not optimal")
+
+    # cold sharded solve returns a usable warm state
+    out = solve_canonical_sharded(mesh, *args, jnp.asarray(can.vstat0),
+                                  jnp.asarray(can.basis0), opts)
+    assert int(out["status"]) == int(Status.OPTIMAL)
+    assert out["Binv"].shape == (can.M, can.M)
+    np.testing.assert_allclose(np.asarray(out["xB"]), np.asarray(state.xB),
+                               rtol=1e-9, atol=1e-9)
+
+    # host edit: cut off the current optimum with a new <= row
+    handle = EngineHandle(can, state, prob, opts)
+    x_opt = handle._x_full()[: can.nv]
+    coeffs = rng.normal(size=can.nv)
+    val = float(coeffs @ x_opt)
+    incremental._append_row(handle, coeffs, ComparisonOp.Le, val - 0.25)
+    can2 = handle.can
+    args2 = (jnp.asarray(can2.A), jnp.asarray(can2.b), jnp.asarray(can2.c),
+             jnp.asarray(can2.lo), jnp.asarray(can2.hi))
+    ref = resolve_dual(*args2, handle.state.basis, handle.state.vstat,
+                       handle.state.Binv, opts)
+    got = resolve_dual_sharded(mesh, *args2, handle.state.basis,
+                               handle.state.vstat, handle.state.Binv, opts)
+    assert int(got["status"]) == int(ref.status)
+    if int(ref.status) == int(Status.OPTIMAL):
+        assert int(got["niter"]) == int(ref.niter)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ref.basis)), np.sort(np.asarray(got["basis"]))
+        )
+        np.testing.assert_allclose(float(got["obj"]), float(ref.obj),
+                                   rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_dual_resolve_detects_infeasible(mesh8):
+    # a contradictory added row must come back INFEASIBLE from the sharded
+    # dual exactly as from the single-device engine
+    from minilp_tpu import ComparisonOp
+    from minilp_tpu.engine import incremental
+    from minilp_tpu.engine.driver import EngineHandle
+    from minilp_tpu.engine.dual import resolve_dual
+    from minilp_tpu.engine.primal import solve_canonical
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.parallel import mesh as mesh_mod
+    from minilp_tpu.parallel.sharded_engine import resolve_dual_sharded
+    from minilp_tpu import OptimizationDirection, Problem
+
+    mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
+    opts = SolverOptions(presolve=False)
+    prob = Problem(OptimizationDirection.Maximize, options=opts)
+    x = prob.add_var(1.0, (0.0, 5.0))
+    y = prob.add_var(1.0, (0.0, 5.0))
+    from minilp_tpu import ComparisonOp as Op
+    prob.add_constraint(x + y, Op.Ge, 2.0)
+    can = canonicalize(prob, extra_row_capacity=4, dtype=np.float64)
+    args = (jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+            jnp.asarray(can.lo), jnp.asarray(can.hi))
+    state = solve_canonical(*args, jnp.asarray(can.vstat0),
+                            jnp.asarray(can.basis0), SolverOptions())
+    handle = EngineHandle(can, state, prob, opts)
+    # x + y <= -1 contradicts x,y >= 0
+    incremental._append_row(
+        handle, np.array([1.0, 1.0]), ComparisonOp.Le, -1.0
+    )
+    can2 = handle.can
+    args2 = (jnp.asarray(can2.A), jnp.asarray(can2.b), jnp.asarray(can2.c),
+             jnp.asarray(can2.lo), jnp.asarray(can2.hi))
+    ref = resolve_dual(*args2, handle.state.basis, handle.state.vstat,
+                       handle.state.Binv, opts)
+    got = resolve_dual_sharded(mesh, *args2, handle.state.basis,
+                               handle.state.vstat, handle.state.Binv, opts)
+    assert int(ref.status) == int(Status.INFEASIBLE)
+    assert int(got["status"]) == int(Status.INFEASIBLE)
+
+
+def test_column_sharded_degenerate_ties_deterministic(mesh8):
+    # SURVEY.md §5(e): a deliberately degenerate instance (identical columns,
+    # equal ratios everywhere) must still produce the single-device pivot
+    # sequence — all tie-breaks are lowest-index and the only inexact sharded
+    # reduction (refactorize's psum of A·x_N) is exactly zero here (all
+    # nonbasic at lower bound 0), so the comparison is exact, not just close.
+    from minilp_tpu.engine.primal import solve_canonical
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.parallel import mesh as mesh_mod
+    from minilp_tpu.parallel.sharded_engine import solve_canonical_sharded
+
+    mesh = mesh_mod.make_mesh(n_data=2, n_model=4)
+    m, nv = 8, 24
+    n = nv + m
+    A_s = np.zeros((m, nv))
+    # three identical copies of each of 8 base columns → massive pricing ties
+    base = np.eye(m)
+    for k in range(3):
+        A_s[:, 8 * k : 8 * (k + 1)] = base
+    A = np.concatenate([A_s, np.eye(m)], axis=1)
+    b = np.ones(m)                      # equal ratios on every row
+    c = np.concatenate([-np.ones(nv), np.zeros(m)])
+    lo = np.zeros(n)
+    hi = np.concatenate([np.full(nv, 2.0), np.full(m, np.inf)])
+    vstat0 = np.concatenate([
+        np.full(nv, int(VarStat.AT_LOWER), dtype=np.int8),
+        np.full(m, int(VarStat.BASIC), dtype=np.int8),
+    ])
+    basis0 = np.arange(nv, nv + m, dtype=np.int32)
+    opts = SolverOptions(max_iter=200)
+    args = tuple(jnp.asarray(v) for v in (A, b, c, lo, hi))
+    ref = solve_canonical(*args, jnp.asarray(vstat0), jnp.asarray(basis0),
+                          opts)
+    out = solve_canonical_sharded(mesh, *args, jnp.asarray(vstat0),
+                                  jnp.asarray(basis0), opts)
+    assert int(out["status"]) == int(ref.status) == int(Status.OPTIMAL)
+    assert int(out["niter"]) == int(ref.niter)
+    np.testing.assert_array_equal(np.asarray(ref.basis),
+                                  np.asarray(out["basis"]))
+    assert float(out["obj"]) == float(ref.obj)
+
+
+@pytest.mark.parametrize("seed", range(3))
 def test_row_sharded_pdhg_matches_unsharded(mesh8, seed):
     # SP/CP analog (SURVEY.md §6.7): PDHG with the rows of A sharded over the
     # 'model' axis must reproduce the single-device engine's status and

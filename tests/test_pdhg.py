@@ -134,6 +134,69 @@ def test_pdhg_sparse_driver_path():
     assert rel_close(sol.objective(), 7.0)
 
 
+def test_pdhg_ruiz_earns_its_keep():
+    """A badly column-scaled instance (scales spanning 1e-4..1e4): with Ruiz
+    equilibration PDHG converges in a modest iteration budget; with Ruiz
+    disabled the same budget is nowhere near enough.  (SURVEY.md §3.3's
+    equilibration requirement made measurable.)"""
+    rng = np.random.default_rng(31337)
+    m, nv = 12, 24
+    scales = 10.0 ** rng.uniform(-4, 4, size=nv)
+    A_s = rng.normal(size=(m, nv)) * scales[None, :]
+    x0 = rng.uniform(0.2, 0.8, size=nv) / scales  # interior in scaled units
+    b = A_s @ x0 + rng.uniform(0.1, 1.0, size=m)
+    A = np.concatenate([A_s, np.eye(m)], axis=1)
+    c = np.concatenate([rng.normal(size=nv) * scales, np.zeros(m)])
+    lo = np.zeros(nv + m)
+    hi = np.concatenate([2.0 / scales, np.full(m, np.inf)])
+
+    budget = 40_000
+    args = tuple(jnp.asarray(v) for v in (A, b, c, lo, hi))
+    with_ruiz = solve_pdhg(
+        *args, opts=SolverOptions(engine="pdhg", feas_tol=1e-7,
+                                  pdhg_max_iter=budget)
+    )
+    without = solve_pdhg(
+        *args, opts=SolverOptions(engine="pdhg", feas_tol=1e-7,
+                                  pdhg_max_iter=budget, pdhg_ruiz_iters=0)
+    )
+    assert int(with_ruiz.status) == int(Status.OPTIMAL)
+    assert int(with_ruiz.niter) <= budget
+    # un-equilibrated: either times out or needs dramatically more work
+    assert (
+        int(without.status) == int(Status.MAX_ITER)
+        or int(without.niter) >= 4 * int(with_ruiz.niter)
+    )
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pdhg_certificates_no_false_positives(seed):
+    """A slow-converging but FEASIBLE-and-BOUNDED instance must never be
+    flagged INFEASIBLE/UNBOUNDED by the displacement-ray certificates — an
+    exact-claim contract (the certificates fire on every check interval, so a
+    long run is many chances to lie)."""
+    rng = np.random.default_rng(9000 + seed)
+    m, nv = 10, 18
+    # near-degenerate: tiny singular values make residuals decay slowly
+    U, _ = np.linalg.qr(rng.normal(size=(m, m)))
+    V, _ = np.linalg.qr(rng.normal(size=(nv, nv)))
+    sv = 10.0 ** np.linspace(0, -3, m)
+    A_s = U @ np.diag(sv) @ V[:m]
+    x0 = rng.uniform(0.3, 0.7, size=nv)
+    b = A_s @ x0 + rng.uniform(0.05, 0.3, size=m)
+    A = np.concatenate([A_s, np.eye(m)], axis=1)
+    c = np.concatenate([rng.normal(size=nv), np.zeros(m)])
+    lo = np.zeros(nv + m)
+    hi = np.concatenate([np.ones(nv), np.full(m, np.inf)])
+    st = solve_pdhg(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), jnp.asarray(lo),
+        jnp.asarray(hi),
+        opts=SolverOptions(engine="pdhg", feas_tol=1e-7,
+                           pdhg_max_iter=150_000),
+    )
+    assert int(st.status) in (int(Status.OPTIMAL), int(Status.MAX_ITER))
+
+
 def test_pdhg_batched_vmap():
     # the engine is plain JAX: vmap over a batch of canonical LPs just works
     from minilp_tpu.parallel.batched import make_random_batch

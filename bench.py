@@ -28,6 +28,77 @@ import time
 import numpy as np
 
 
+def _single_lp_and_incremental_metrics() -> dict:
+    """Single-LP cold/warm wall-clock + incremental branch-and-cut loop
+    (BASELINE configs 1 and 4): one cold `Problem.solve()` per size bucket,
+    then a chain of `Solution.add_constraint` re-solves (each cuts off the
+    current optimum by a small margin — the branch-and-cut node pattern),
+    reporting mean wall and re-solve pivot counts per node."""
+    from minilp_tpu.api import ComparisonOp, LinearExpr, Variable
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    out = {}
+    for tag, (m, nv, dens) in {
+        "256x1024": (250, 760, 0.05),
+        "512x2048": (500, 1530, 0.03),
+    }.items():
+        prob = netlib_shaped_problem(m, nv, dens, seed=11)
+        t0 = time.perf_counter()
+        sol = prob.solve()
+        cold_s = time.perf_counter() - t0
+        cold_iters = sol._engine.iterations()
+
+        rng = np.random.default_rng(5)
+        walls, pivots = [], []
+        cur = sol
+        for _k in range(6):
+            js = rng.choice(nv, size=8, replace=False)
+            coeffs = rng.normal(size=8)
+            val = sum(
+                float(cf) * cur[Variable(int(j))]
+                for cf, j in zip(coeffs, js)
+            )
+            expr = LinearExpr(
+                (float(cf), Variable(int(j))) for cf, j in zip(coeffs, js)
+            )
+            t0 = time.perf_counter()
+            try:
+                cur = cur.add_constraint(expr, ComparisonOp.Le, val - 0.05)
+            except Exception:  # cut made the node infeasible — stop the chain
+                break
+            walls.append(time.perf_counter() - t0)
+            pivots.append(cur._engine.iterations())
+        out[tag] = {
+            "cold_s": round(cold_s, 3),
+            "cold_iters": int(cold_iters),
+            "certified": bool(sol._engine.certified),
+            "resolve_nodes": len(walls),
+            "mean_resolve_s": round(float(np.mean(walls)), 3) if walls else None,
+            "mean_resolve_pivots": (
+                round(float(np.mean(pivots)), 1) if pivots else None
+            ),
+        }
+    return out
+
+
+def _netlib_shape_metric() -> dict:
+    """25fv47-shape certified single solve (the reference's bread-and-butter
+    instance class; BASELINE §1) through the default TPU path."""
+    from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
+
+    m, nv, dens = NETLIB_SHAPES["25fv47"]
+    prob = netlib_shaped_problem(m, nv, dens, seed=1)
+    t0 = time.perf_counter()
+    sol = prob.solve()
+    wall = time.perf_counter() - t0
+    return {
+        "shape": f"{m}x{nv}",
+        "wall_s": round(wall, 2),
+        "iters": int(sol._engine.iterations()),
+        "certified": bool(sol._engine.certified),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -115,6 +186,9 @@ def main() -> None:
     cpu_dt = time.perf_counter() - t0
     cpu_lps_per_sec = sample / cpu_dt
 
+    single_lp = _single_lp_and_incremental_metrics()
+    netlib_shape = _netlib_shape_metric()
+
     print(json.dumps({
         "metric": "batched_lp_throughput",
         "value": round(lps_per_sec, 2),
@@ -131,6 +205,10 @@ def main() -> None:
         "simplex_iters_per_sec": round(float(niters.sum() / dt), 1),
         "wall_s": round(dt, 4),
         "device_only_lps_per_sec": round(device_lps, 2),
+        # BASELINE configs 1/4: single-LP cold + incremental loop per size
+        "single_lp": single_lp,
+        # BASELINE §1: certified Netlib-shape (25fv47) single solve
+        "netlib_shape_25fv47": netlib_shape,
         "backend": jax.default_backend(),
     }))
 

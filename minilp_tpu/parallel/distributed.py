@@ -21,6 +21,7 @@ from typing import Optional
 import jax
 
 from ..options import SolverOptions
+from ..utils import records
 from . import batched
 from .mesh import make_mesh
 
@@ -71,9 +72,25 @@ def measure_scaling(
 
     r1 = run(1, batch_per_device)
     rn = run(n_devices, batch_per_device * n_devices)
-    return {
+    result = {
         "lps_per_sec_1dev": r1,
         "lps_per_sec_ndev": rn,
         "n_devices": n_devices,
         "efficiency": rn / (n_devices * r1),
+        "backend": jax.default_backend(),
+        "batch_per_device": batch_per_device,
+        "m": m,
+        "nv": nv,
     }
+    # Trend tracking: the >=70%-at-2-hosts BASELINE metric is unmeasurable on
+    # a single chip / virtual CPU mesh, but every run leaves a JSON record so
+    # real-pod numbers slot into the same series the moment hardware exists.
+    if records.enabled():
+        records.emit(records.SolveRecord(
+            event="scaling_harness", engine="simplex", status="OPTIMAL",
+            rows=m, cols=nv, padded_rows=m, padded_cols=nv + m,
+            iterations=0, objective=None, wall_s=0.0,
+            backend=jax.default_backend(), dtype=opts.dtype,
+            extra=result,
+        ))
+    return result

@@ -33,6 +33,8 @@ class SolveRecord:
     wall_s: float
     backend: str
     dtype: str
+    #: free-form event payload (e.g. the scaling-harness numbers)
+    extra: Optional[dict] = None
 
     def iters_per_sec(self) -> float:
         return self.iterations / self.wall_s if self.wall_s > 0 else 0.0

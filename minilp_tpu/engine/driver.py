@@ -413,6 +413,60 @@ def _try_megakernel_solve(
     )
 
 
+def _streaming_eligible(can: CanonicalLP, opts: SolverOptions) -> bool:
+    if opts.use_streaming == "never":
+        return False
+    if opts.use_streaming == "always":
+        return True
+    if opts.use_streaming != "auto":
+        raise ValueError(f"unknown use_streaming {opts.use_streaming!r}")
+    # auto: TPU, above the megakernel's VMEM envelope, within the streaming
+    # kernel's (B⁻¹ must fit VMEM: m² f32 + tile buffers ≤ ~112 MB)
+    return (
+        jax.default_backend() == "tpu"
+        and can.M > 512 and can.M <= 4096 and can.N <= 32768
+    )
+
+
+def _try_streaming_solve(
+    can: CanonicalLP, opts: SolverOptions
+) -> SimplexState | None:
+    """Netlib-scale single-LP TPU path: the HBM-streaming Pallas kernel.
+
+    Same contract as `_try_megakernel_solve`: f32 iterate on the chip, exact
+    f64 host certification of the discovered basis, host CPU f64 polish when
+    the claim is near-optimal-but-uncertified, and — new here — a mid-solve
+    NUMERICAL handoff when the basis conditioning outgrows f32 (the kernel's
+    Newton telltale): the f32 pass still banked the cheap early pivots, the
+    exact host engine finishes from that basis.  Returns the exact f64
+    OPTIMAL state or None (caller falls back to the XLA paths).
+    """
+    from ..ops.kernels.streaming_simplex import solve_streaming_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    try:
+        res = solve_streaming_pallas(
+            can.A, can.b, can.c, can.lo, can.hi,
+            slack0=can.nv,
+            max_iter=opts.effective_max_iter(can.M, can.N),
+            refactor_period=max(opts.refactor_period, 32),
+            interpret=interpret,
+        )
+    except Exception:  # lowering/backend failure → XLA engine fallback
+        return None
+    basis = np.asarray(res.basis)
+    vstat = np.asarray(res.vstat).astype(np.int8)
+    if bool(res.verified):
+        return _state_from_certified_basis(
+            can, basis, vstat, int(res.niter), opts
+        )
+    if int(res.status) in (int(Status.OPTIMAL), int(Status.NUMERICAL)):
+        return _host_polish_from_basis(
+            can, basis, vstat, opts, niter0=int(res.niter)
+        )
+    return None
+
+
 def _f32_midsize_eligible(can: CanonicalLP, opts: SolverOptions) -> bool:
     if opts.f32_midsize == "never":
         return False
@@ -472,6 +526,18 @@ def _try_f32_certified_solve(
             )
     except Exception:  # lowering/backend failure → f64 engine fallback
         return None
+    if int(state.status) == int(Status.NUMERICAL):
+        # Conditioning beyond f32: the basis's cond·eps_f32 overwhelms even
+        # an exact host inverse cast down (measured at Netlib (1500,3000)
+        # scale: the Newton telltale fails at niter=0 on the resumed run).
+        # The f32 pass still did the cheap early pivots — hand the basis to
+        # the exact f64 engine ON THE HOST CPU to finish (same pattern as
+        # the near-optimal polish; avoids the TPU's emulated-f64 graph).
+        return _host_polish_from_basis(
+            can, np.asarray(state.basis),
+            np.asarray(state.vstat).astype(np.int8), opts,
+            niter0=int(state.niter),
+        )
     if int(state.status) != int(Status.OPTIMAL):
         return None
     basis = np.asarray(state.basis)
@@ -515,6 +581,16 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             handle.certify()
             return api.Solution(handle, user_problem)
         # uncertified / non-optimal / kernel unavailable → XLA engine below
+    if _streaming_eligible(can, opts):
+        with records.timed() as t:
+            state = _try_streaming_solve(can, opts)
+        if state is not None:
+            _emit_record("cold_solve_streaming", can, state,
+                         int(Status.OPTIMAL), t.wall_s, opts)
+            handle = EngineHandle(can, state, problem, opts)
+            handle.certify()
+            return api.Solution(handle, user_problem)
+        # kernel unavailable / handoff failed → f32 XLA path below
     if _f32_midsize_eligible(can, opts):
         with records.timed() as t:
             state = _try_f32_certified_solve(can, opts)

@@ -1,0 +1,712 @@
+"""HBM-streaming single-LP simplex kernel: Netlib-scale instances on one chip.
+
+The VMEM-resident megakernel (batched_simplex.py) tops out at padded
+(512, 2048) — A itself outgrows VMEM.  This kernel covers the reference's
+headline instance class — 25fv47 (821×1571) through maros-r7 (3136×9408),
+`src/lu.rs (lu_factorize)` [CODE]; BASELINE.md §1 — by splitting the working
+set across the memory hierarchy the way the hardware wants it:
+
+* **VMEM (persistent, whole solve)**: the dense basis inverse B⁻¹ (m², the
+  only quadratic object), all (1,m)/(1,n) vectors (xB, d, Devex weights,
+  maintained lo_B/hi_B/c_B, statuses), and a double-buffered (TILE_N, m)
+  landing pad for A-tiles.
+* **HBM**: A stored TRANSPOSED (n, m) so that (a) one matrix COLUMN — the
+  FTRAN fetch — is one contiguous row DMA, and (b) the per-pivot row pass
+  α = B⁻¹[r]·A streams row-tiles of Aᵀ through the MXU as (TILE_N, m)×(m, 1)
+  matvecs with the d/weights updates fused into the same tile visit.
+* **HBM scratch (2, m, m)**: the periodic Newton refresh stages B (gathered
+  by m row DMAs, one per basic column) and the intermediate H = X·B there,
+  so VMEM never holds more than ONE m² buffer:
+      X' = 2X − (X·B)·X  — H-tiles and X'-tiles each computed from the full
+  VMEM-resident X and one streamed tile, written back to HBM, then X' is
+  DMA'd home.  ‖I − X·B‖∞ falls out of the same sweep as the divergence
+  telltale (`ok`), exactly like engine/basis.py's refresh.
+
+HBM traffic per iteration is ONE Aᵀ stream (phase 1 prices a recomputed
+composite d₁; phase 2 fuses the α pass with the d/Devex updates — phase-2
+pricing itself touches only the maintained VMEM d) plus one (1, m) column
+DMA — the streaming floor for a dense revised simplex.  Everything else
+(ratio test, PFI rank-1 inverse update, one-hot maintained-state writes) is
+VMEM work identical to the megakernel.
+
+Precision contract: f32 iterate, exact f64 host certification of the final
+(basis, vstat) — `_verify_f64`, shared with the megakernel — with the same
+"terminal claims only from a fresh state" rule; the driver host-polishes
+near-optimal uncertified bases (driver._host_polish_from_basis).
+
+Mosaic constraints honored (same set the megakernel documents): no dynamic
+gathers inside compute (one-hot/masked selects; maintained gathered state),
+i32 argmax, (1,·) row vectors, f32-pinned literals, matmul precision HIGHEST.
+The basis lives in SMEM as well as VMEM: SMEM scalar reads index the
+refresh's per-basic-column row DMAs.
+"""
+
+from __future__ import annotations
+
+import functools
+import sys
+from typing import NamedTuple
+
+if sys.getrecursionlimit() < 10_000:
+    sys.setrecursionlimit(10_000)
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...status import Status, VarStat
+from .batched_simplex import _verify_f64
+
+F32 = jnp.float32
+NEG_INF = float("-inf")
+
+
+class PallasStreamResult(NamedTuple):
+    basis: jnp.ndarray    # (m,) int32
+    vstat: jnp.ndarray    # (n,) int32
+    status: jnp.ndarray   # () int32
+    niter: jnp.ndarray    # () int32
+    obj: jnp.ndarray      # () f64 exact recompute
+    verified: jnp.ndarray  # () bool
+    x: jnp.ndarray        # (n,) f64 exact vertex
+
+
+def _stream_kernel(
+    # inputs
+    AT_hbm,               # (n, m) f32, HBM/ANY — A transposed
+    b_ref, c_ref, lo_ref, hi_ref,     # (1,m), (1,n)×3 VMEM
+    # outputs
+    basis_out, vstat_out, status_out, niter_out, scratch_hbm,
+    # scratch
+    Binv, xB, d, loB, hiB, cB, wts, d1,
+    rowbuf, tilebuf, tiltmp, basis_smem, tell, sems, rsem,
+    *,
+    m: int, n: int, slack0: int, tile_n: int, tile_m: int, max_iter: int,
+    refactor_period: int, newton_sweeps: int,
+    feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
+):
+    """Single LP.  See module docstring for the memory plan.
+
+    scratch_hbm: (2, m, m) f32 HBM staging (slot 0: B then X'; slot 1: H).
+    rowbuf: (1, m) VMEM DMA landing pad (entering column / gather rows).
+    tilebuf: (2, tile_n, m) VMEM double buffer for Aᵀ row-tiles.
+    tiltmp: (tile_n, m) VMEM general tile temporary (refresh sweeps).
+    basis_smem: (m,) int32 SMEM — dynamic scalar indexing for row DMAs.
+    tell: (1,) f32 SMEM — Newton divergence telltale (‖I−X·B‖∞ of the last
+        refresh; > 0.5 means the basis outgrew f32 and the kernel exits
+        NUMERICAL so the host f64 engine can take over mid-solve).
+    sems: DMA semaphore array (2,) for the tile double buffer;
+    rsem: single DMA semaphore for row/bulk copies.
+    """
+    ZERO = jnp.float32(0.0)
+    ONE = jnp.float32(1.0)
+    n_tiles = n // tile_n
+    col_ids = lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    row_ids = lax.broadcasted_iota(jnp.int32, (1, m), 1)
+    tcol_ids = lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+
+    c = c_ref[...]
+    lo = lo_ref[...]
+    hi = hi_ref[...]
+    b = b_ref[...]
+
+    def sel_col(vec, q):
+        if vec.dtype == jnp.int32:
+            return jnp.sum(jnp.where(col_ids == q, vec, jnp.int32(0)))
+        return jnp.sum(jnp.where(col_ids == q, vec, ZERO))
+
+    def sel_row(vec, r):
+        if vec.dtype == jnp.int32:
+            return jnp.sum(jnp.where(row_ids == r, vec, jnp.int32(0)))
+        return jnp.sum(jnp.where(row_ids == r, vec, ZERO))
+
+    # ---- tile streaming helper -------------------------------------------------
+    def tile_dma(slot, t):
+        return pltpu.make_async_copy(
+            AT_hbm.at[pl.ds(t * tile_n, tile_n), :],
+            tilebuf.at[slot],
+            sems.at[slot],
+        )
+
+    def stream_tiles(visit):
+        """Double-buffered sweep over Aᵀ row-tiles; visit(t, tile (tile_n,m))."""
+        tile_dma(0, 0).start()
+
+        def body(t, _):
+            slot = t % 2
+
+            @pl.when(t + 1 < n_tiles)
+            def _():
+                tile_dma((t + 1) % 2, t + 1).start()
+
+            tile_dma(slot, t).wait()
+            visit(t, tilebuf[slot])
+            return 0
+
+        lax.fori_loop(0, n_tiles, body, 0)
+
+    # ---- cold start --------------------------------------------------------------
+    # identity inverse built tile-by-tile: a full (m, m) iota-compare would
+    # materialize two m² int32 temporaries (~80 MB at maros scale)
+    tb = tile_m
+    m_tiles = m // tb
+
+    def eye_tile(t, _):
+        ri = lax.broadcasted_iota(jnp.int32, (tb, m), 0) + t * tb
+        ci = lax.broadcasted_iota(jnp.int32, (tb, m), 1)
+        Binv[pl.ds(t * tb, tb), :] = (ri == ci).astype(F32)
+        return 0
+
+    lax.fori_loop(0, m_tiles, eye_tile, 0)
+    basis_out[...] = row_ids + slack0
+    is_slack = (col_ids >= slack0) & (col_ids < slack0 + m)
+    vstat0 = jnp.where(
+        jnp.isfinite(lo), jnp.int32(VarStat.AT_LOWER),
+        jnp.where(jnp.isfinite(hi), jnp.int32(VarStat.AT_UPPER),
+                  jnp.int32(VarStat.FREE)),
+    )
+    vstat0 = jnp.where(lo == hi, jnp.int32(VarStat.FIXED), vstat0)
+    vstat0 = jnp.where(is_slack, jnp.int32(VarStat.BASIC), vstat0)
+    vstat_out[...] = vstat0
+    loB[...] = lo[:, slack0:slack0 + m]
+    hiB[...] = hi[:, slack0:slack0 + m]
+    cB[...] = c[:, slack0:slack0 + m]
+    wts[...] = jnp.ones_like(c)
+
+    def init_smem(i, _):
+        basis_smem[i] = slack0 + i
+        return 0
+
+    lax.fori_loop(0, m, init_smem, 0)
+    tell[0] = ZERO
+
+    def nonbasic_x(vstat):
+        x = jnp.where(vstat == VarStat.AT_LOWER, lo, ZERO)
+        x = jnp.where(vstat == VarStat.AT_UPPER, hi, x)
+        x = jnp.where(vstat == VarStat.FIXED, lo, x)
+        return x  # (1, n)
+
+    def tile_vectors(t):
+        """(vstat, c, lo, hi) slices for tile t, read from refs (Mosaic has
+        no dynamic_slice on values; tile-aligned ref reads lower fine)."""
+        sl = (slice(None), pl.ds(t * tile_n, tile_n))
+        return vstat_out[sl], c_ref[sl], lo_ref[sl], hi_ref[sl]
+
+    def nonbasic_x_tile(v_t, lo_t, hi_t):
+        x = jnp.where(v_t == VarStat.AT_LOWER, lo_t, ZERO)
+        x = jnp.where(v_t == VarStat.AT_UPPER, hi_t, x)
+        x = jnp.where(v_t == VarStat.FIXED, lo_t, x)
+        return x
+
+    def recompute_vectors():
+        """xB and reduced costs from Binv + statuses (streams Aᵀ twice)."""
+        # rhs_eff = b − A·xN accumulated tile-wise into xB (reused as acc)
+        xB[...] = b
+
+        def acc_rhs(t, tile):
+            v_t, _c_t, lo_t, hi_t = tile_vectors(t)
+            xn_t = nonbasic_x_tile(v_t, lo_t, hi_t)
+            xB[...] = xB[...] - jnp.dot(
+                xn_t, tile, preferred_element_type=F32
+            )
+
+        stream_tiles(acc_rhs)
+        xB[...] = (Binv[...] @ xB[...].T).T
+        y = cB[...] @ Binv[...]          # (1, m)
+
+        def set_d(t, tile):
+            v_t, c_t, _lo_t, _hi_t = tile_vectors(t)
+            d_t = c_t - jnp.dot(tile, y.T, preferred_element_type=F32).T
+            d_t = jnp.where(v_t == VarStat.BASIC, ZERO, d_t)
+            d[:, pl.ds(t * tile_n, tile_n)] = d_t
+
+        stream_tiles(set_d)
+
+    def newton_refresh():
+        """One Newton–Schulz sweep X ← 2X − (X·B)·X staged through HBM.
+
+        slot 0 first holds Bᵀ (gathered by m row DMAs: slot0[i] = Aᵀ[basis_i]
+        = B[:, i]ᵀ, SMEM-indexed), then is reused for X'; slot 1 holds the
+        intermediate H = X·B.  Row-tile t of H is X[t] @ B = X[t] @ slot0ᵀ,
+        built column-block by column-block with slot0 streamed row-wise
+        (blk = X[t] · slot0[s]ᵀ = (X·B)[t, s-block]); row-tile t of X' is
+        2X[t] − H[t]·X with H[t] DMA'd back and the full OLD X resident in
+        VMEM.  X' lands in slot 0 and is DMA'd home at the end — VMEM never
+        holds a second m² buffer.  Returns max|I − X·B| (divergence
+        telltale; an inverse beyond Newton's basin shows up as an
+        uncertified basis at the host anyway)."""
+        # ---- gather Bᵀ rows into slot 0 (bounce each row through VMEM) ------
+        def gbody(i, _):
+            slot = i % 2
+            g = pltpu.make_async_copy(
+                AT_hbm.at[pl.ds(basis_smem[i], 1), :],
+                tilebuf.at[slot, pl.ds(0, 1), :],
+                sems.at[slot],
+            )
+            g.start()
+            g.wait()
+            put = pltpu.make_async_copy(
+                tilebuf.at[slot, pl.ds(0, 1), :],
+                scratch_hbm.at[0, pl.ds(i, 1), :],
+                rsem,
+            )
+            put.start()
+            put.wait()
+            return 0
+
+        lax.fori_loop(0, m, gbody, 0)
+
+        # ---- H = X·B row-tiles → slot 1 --------------------------------------
+        def hb_dma(slot, s):
+            return pltpu.make_async_copy(
+                scratch_hbm.at[0, pl.ds(s * tb, tb), :],
+                tilebuf.at[slot, pl.ds(0, tb), :],
+                sems.at[slot],
+            )
+
+        def h_rowtile(t, _):
+            xt = Binv[pl.ds(t * tb, tb), :]              # X[t] (tb, m)
+
+            def sbody(s, _):
+                slot = s % 2
+                hb_dma(slot, s).start()
+                hb_dma(slot, s).wait()
+                bt = tilebuf[slot, pl.ds(0, tb), :]      # Bᵀ rows s-block
+                blk = jnp.dot(xt, bt.T, preferred_element_type=F32)
+                tiltmp[pl.ds(0, tb), pl.ds(s * tb, tb)] = blk
+                return 0
+
+            lax.fori_loop(0, m_tiles, sbody, 0)
+            put = pltpu.make_async_copy(
+                tiltmp.at[pl.ds(0, tb), :],
+                scratch_hbm.at[1, pl.ds(t * tb, tb), :],
+                rsem,
+            )
+            put.start()
+            put.wait()
+            return 0
+
+        lax.fori_loop(0, m_tiles, h_rowtile, 0)
+
+        # ---- X' = 2X − H·X row-tiles → slot 0, with ‖I − H‖∞ telltale --------
+        def xp_rowtile(t, okmax):
+            dma = pltpu.make_async_copy(
+                scratch_hbm.at[1, pl.ds(t * tb, tb), :],
+                tilebuf.at[0, pl.ds(0, tb), :],
+                sems.at[0],
+            )
+            dma.start()
+            dma.wait()
+            ht = tilebuf[0, pl.ds(0, tb), :]             # H[t]
+            xt = Binv[pl.ds(t * tb, tb), :]
+            xpt = 2.0 * xt - jnp.dot(ht, Binv[...],
+                                     preferred_element_type=F32)
+            tiltmp[pl.ds(0, tb), :] = xpt
+            put = pltpu.make_async_copy(
+                tiltmp.at[pl.ds(0, tb), :],
+                scratch_hbm.at[0, pl.ds(t * tb, tb), :],
+                rsem,
+            )
+            put.start()
+            put.wait()
+            ri = (lax.broadcasted_iota(jnp.int32, (tb, m), 0) + t * tb
+                  == lax.broadcasted_iota(jnp.int32, (tb, m), 1)).astype(F32)
+            return jnp.maximum(okmax, jnp.max(jnp.abs(ri - ht)))
+
+        resid = lax.fori_loop(0, m_tiles, xp_rowtile, ZERO)
+
+        # ---- DMA X' home ------------------------------------------------------
+        back = pltpu.make_async_copy(scratch_hbm.at[0], Binv, rsem)
+        back.start()
+        back.wait()
+        return resid
+
+    recompute_vectors()
+
+    # carry: (status, niter, phase, noimp, best, fresh, force)
+    def cond(carry):
+        status, niter, phase, noimp, best, fresh, force = carry
+        return (status == Status.RUNNING) & (niter < max_iter)
+
+    def body(carry):
+        status, niter, phase, noimp, best, fresh, force = carry
+
+        xB_pre = xB[...]
+        loBv = loB[...]
+        hiBv = hiB[...]
+        below_pre = xB_pre < loBv - feas_tol
+        above_pre = xB_pre > hiBv + feas_tol
+        feasible = jnp.sum((below_pre | above_pre).astype(F32)) == ZERO
+        transition = (phase == 1) & feasible
+        phase = jnp.where(transition, jnp.int32(2), phase)
+        do_refresh = (
+            transition
+            | (force == 1)
+            | ((niter > jnp.int32(0))
+               & (niter % jnp.int32(refactor_period) == jnp.int32(0)))
+        )
+
+        @pl.when(do_refresh)
+        def _():
+            resid = ZERO
+            for _s in range(newton_sweeps):
+                resid = newton_refresh()
+            recompute_vectors()
+            tell[0] = resid
+
+        # Newton divergence ⇒ the basis outgrew f32 (cond·eps_f32 ≳ 1):
+        # further f32 pivots are noise, so exit NUMERICAL and let the host
+        # f64 engine take over from this basis (driver handoff).
+        diverged = do_refresh & (tell[0] > jnp.float32(0.5))
+
+        vstat = vstat_out[...]
+        basis = basis_out[...]
+        xBv = xB[...]
+        below = xBv < loBv - feas_tol
+        above = xBv > hiBv + feas_tol
+        ones_m = jnp.ones_like(xBv)
+        sigma = jnp.where(below, -ones_m, jnp.where(above, ones_m, ZERO * ones_m))
+        viol = jnp.maximum(loBv - xBv, ZERO) + jnp.maximum(xBv - hiBv, ZERO)
+        infeas = jnp.sum(viol)
+        p1 = phase == 1
+
+        # ---- phase-1 composite reduced costs: one Aᵀ stream -----------------
+        @pl.when(p1)
+        def _():
+            y1 = sigma @ Binv[...]        # (1, m)
+
+            def set_d1(t, tile):
+                v_t = vstat_out[:, pl.ds(t * tile_n, tile_n)]
+                d1_t = -jnp.dot(tile, y1.T, preferred_element_type=F32).T
+                d1_t = jnp.where(v_t == VarStat.BASIC, ZERO, d1_t)
+                d1[:, pl.ds(t * tile_n, tile_n)] = d1_t
+
+            stream_tiles(set_d1)
+
+        dcur = jnp.where(p1, d1[...], d[...])
+
+        # ---- pricing ----------------------------------------------------------
+        bland = noimp >= bland_after
+        can_up = (vstat == VarStat.AT_LOWER) | (vstat == VarStat.FREE)
+        can_dn = (vstat == VarStat.AT_UPPER) | (vstat == VarStat.FREE)
+        elig = (can_up & (dcur < -opt_tol)) | (can_dn & (dcur > opt_tol))
+        neg_inf = jnp.float32(NEG_INF)
+        gam = jnp.where(p1, jnp.ones_like(wts[...]), wts[...])
+        score = jnp.where(elig, dcur * dcur / jnp.maximum(gam, ONE * 1e-3),
+                          neg_inf)
+        q_d = lax.argmax(score[0, :], 0, jnp.int32)
+        q_b = jnp.min(jnp.where(elig, col_ids, jnp.int32(n)))
+        q = jnp.where(bland, q_b, q_d)
+        found = jnp.sum(elig.astype(F32)) > ZERO
+        dq = sel_col(dcur, q)
+        s = jnp.where(dq < ZERO, jnp.float32(1.0), jnp.float32(-1.0))
+
+        # ---- FTRAN: one contiguous column DMA + VMEM matvec -------------------
+        cdma = pltpu.make_async_copy(
+            AT_hbm.at[pl.ds(q, 1), :], rowbuf, rsem
+        )
+        cdma.start()
+        cdma.wait()
+        Acol = rowbuf[...]                 # (1, m)
+        w = (Binv[...] @ Acol.T).T         # (1, m)
+
+        # ---- ratio test (identical to the megakernel) -------------------------
+        delta = -s * w
+        up = delta > pivot_tol
+        dn = delta < -pivot_tol
+        up_tgt = jnp.where(below, loBv, hiBv)
+        dn_tgt = jnp.where(above, hiBv, loBv)
+        up_ok = ~above
+        dn_ok = ~below
+        tgt = jnp.where(up, up_tgt, jnp.where(dn, dn_tgt, ZERO))
+        blockable = ((up & up_ok) | (dn & dn_ok)) & jnp.isfinite(tgt)
+        ratio = jnp.where(
+            blockable, (tgt - xBv) / jnp.where(up | dn, delta, ONE),
+            jnp.float32(jnp.inf),
+        )
+        ratio = jnp.maximum(ratio, ZERO)
+        t_rows = jnp.min(ratio)
+        tie = ratio <= t_rows * jnp.float32(1.0001) + jnp.float32(1e-6)
+        r = lax.argmax(jnp.where(tie, jnp.abs(w), neg_inf)[0, :], 0, jnp.int32)
+        lo_q = sel_col(lo, q)
+        hi_q = sel_col(hi, q)
+        rng_q = hi_q - lo_q
+        flip = rng_q <= t_rows
+        unbounded = ~jnp.isfinite(jnp.minimum(t_rows, rng_q))
+        t = jnp.where(flip, rng_q, sel_row(ratio, r))
+
+        do_pivot = found & ~flip & ~unbounded
+        do_flip = found & flip & ~unbounded
+
+        vq = sel_col(vstat, q)
+        enter_base = jnp.where(
+            (vq == VarStat.AT_LOWER) | (vq == VarStat.FIXED), lo_q,
+            jnp.where(vq == VarStat.AT_UPPER, hi_q, ZERO),
+        )
+        lv = sel_row(basis, r)
+        loB_r = sel_row(loBv, r)
+        hiB_r = sel_row(hiBv, r)
+        tgt_r = sel_row(tgt, r)
+        lstat = jnp.where(
+            loB_r == hiB_r, jnp.int32(VarStat.FIXED),
+            jnp.where(tgt_r == hiB_r, jnp.int32(VarStat.AT_UPPER),
+                      jnp.int32(VarStat.AT_LOWER)),
+        )
+
+        # bound flip
+        xB_flip = xBv + t * delta
+        vstat_flip = jnp.where(
+            col_ids == q,
+            jnp.where(vstat == VarStat.AT_LOWER, jnp.int32(VarStat.AT_UPPER),
+                      jnp.int32(VarStat.AT_LOWER)),
+            vstat,
+        )
+
+        # ---- pivot: PFI + maintained state + fused α/d/Devex stream ----------
+        onehot_r = (row_ids == r).astype(F32)
+        wr = sel_row(w, r)
+        wr_safe = jnp.where(wr == ZERO, ONE, wr)
+        pr = (onehot_r @ Binv[...]) / wr_safe           # (1, m)
+        x_enter = enter_base + s * t
+        xB_piv = jnp.where(row_ids == r, x_enter, xBv + t * delta)
+        basis_piv = jnp.where(row_ids == r, q, basis)
+        vstat_piv = jnp.where(col_ids == lv, lstat, vstat)
+        vstat_piv = jnp.where(col_ids == q, jnp.int32(VarStat.BASIC), vstat_piv)
+        loB_piv = jnp.where(row_ids == r, lo_q, loBv)
+        hiB_piv = jnp.where(row_ids == r, hi_q, hiBv)
+        cB_piv = jnp.where(row_ids == r, sel_col(c, q), cB[...])
+
+        # ---- select + write back (vstat first: the fused stream below reads
+        # the POST-pivot statuses from the ref) ---------------------------------
+        xB[...] = jnp.where(do_pivot, xB_piv,
+                            jnp.where(do_flip, xB_flip, xBv))
+        basis_out[...] = jnp.where(do_pivot, basis_piv, basis)
+        vstat_out[...] = jnp.where(
+            do_pivot, vstat_piv, jnp.where(do_flip, vstat_flip, vstat)
+        )
+        loB[...] = jnp.where(do_pivot, loB_piv, loBv)
+        hiB[...] = jnp.where(do_pivot, hiB_piv, hiBv)
+        cB[...] = jnp.where(do_pivot, cB_piv, cB[...])
+
+        # phase-2 incremental d/Devex: stream Aᵀ ONCE, fusing the pivot row α
+        # into both updates tile-by-tile (the only per-iteration full-matrix
+        # traffic; phase 1 recomputes d1 wholesale instead and skips this)
+        rd = dq / wr_safe
+        gq = jnp.maximum(sel_col(wts[...], q), ONE)
+
+        @pl.when(do_pivot & ~p1)
+        def _():
+            prw = pr * wr_safe              # Binv[r] (1, m)
+
+            def upd(tix, tile):
+                sl = (slice(None), pl.ds(tix * tile_n, tile_n))
+                a_t = jnp.dot(tile, prw.T, preferred_element_type=F32).T
+                cid = tcol_ids + tix * tile_n
+                d_t = d[sl] - rd * a_t
+                d_t = jnp.where(cid == q, ZERO, d_t)
+                d_t = jnp.where(cid == lv, -rd, d_t)
+                w_t = wts[sl]
+                tc = a_t / wr_safe
+                w_t = jnp.maximum(w_t, (tc * tc) * gq)
+                w_t = jnp.where(cid == lv,
+                                jnp.maximum(gq / (wr_safe * wr_safe), ONE), w_t)
+                w_t = jnp.where(cid == q, ONE, w_t)
+                w_t = jnp.where(gq > jnp.float32(1e6), jnp.ones_like(w_t), w_t)
+                v_t = vstat_out[sl]          # post-pivot statuses
+                d_t = jnp.where(v_t == VarStat.BASIC, ZERO, d_t)
+                d[sl] = d_t
+                wts[sl] = w_t
+
+            stream_tiles(upd)
+
+        @pl.when(do_pivot)
+        def _():
+            Binv[...] = Binv[...] - (w - onehot_r).T @ pr
+            basis_smem[r] = q
+
+        # ---- status transitions (terminal only from fresh state) --------------
+        fresh_now = jnp.where(do_refresh, jnp.int32(1), fresh)
+        wants_exit = (~found) | (found & unbounded)
+        believe = fresh_now == 1
+        status = jnp.where(
+            found,
+            jnp.where(
+                unbounded & believe,
+                jnp.where(p1, jnp.int32(Status.NUMERICAL),
+                          jnp.int32(Status.UNBOUNDED)),
+                status,
+            ),
+            jnp.where(
+                believe,
+                jnp.where(p1, jnp.int32(Status.INFEASIBLE),
+                          jnp.int32(Status.OPTIMAL)),
+                status,
+            ),
+        )
+        force = jnp.where(
+            wants_exit & ~believe & (status == Status.RUNNING),
+            jnp.int32(1), jnp.int32(0),
+        )
+        applied = found & ~unbounded
+        fresh = jnp.where(applied, jnp.int32(0), fresh_now)
+        niter = niter + jnp.where(applied, jnp.int32(1), jnp.int32(0))
+
+        improved = infeas < best - jnp.float32(1e-6)
+        noimp = jnp.where(
+            p1, jnp.where(improved, jnp.int32(0), noimp + 1), jnp.int32(0)
+        )
+        best = jnp.where(p1, jnp.minimum(best, infeas), best)
+
+        status = jnp.where(diverged, jnp.int32(Status.NUMERICAL), status)
+        return (status, niter, phase, noimp, best, fresh, force)
+
+    init = (
+        jnp.int32(Status.RUNNING), jnp.int32(0), jnp.int32(1),
+        jnp.int32(0), jnp.float32(jnp.inf), jnp.int32(1), jnp.int32(0),
+    )
+    status, niter, *_rest = lax.while_loop(cond, body, init)
+    status = jnp.where(
+        status == Status.RUNNING, jnp.int32(Status.MAX_ITER), status
+    )
+    status_out[...] = jnp.reshape(status, (1, 1))
+    niter_out[...] = jnp.reshape(niter, (1, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "slack0", "tile_n", "tile_m", "max_iter", "refactor_period",
+        "newton_sweeps", "feas_tol", "opt_tol", "pivot_tol", "bland_after",
+        "interpret",
+    ),
+)
+def stream_kernel_call(
+    AT32, b32, c32, lo32, hi32, *,
+    slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
+    feas_tol, opt_tol, pivot_tol, bland_after, interpret,
+):
+    n, m = AT32.shape
+    kern = functools.partial(
+        _stream_kernel, m=m, n=n, slack0=slack0, tile_n=tile_n,
+        tile_m=tile_m,
+        max_iter=max_iter, refactor_period=refactor_period,
+        newton_sweeps=newton_sweeps, feas_tol=feas_tol, opt_tol=opt_tol,
+        pivot_tol=pivot_tol, bland_after=bland_after,
+    )
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),   # AT stays in HBM
+            vspec(), vspec(), vspec(), vspec(),
+        ],
+        out_specs=[
+            vspec(), vspec(), vspec(), vspec(),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # HBM staging scratch
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, m), jnp.int32),   # basis
+            jax.ShapeDtypeStruct((1, n), jnp.int32),   # vstat
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),   # status
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),   # niter
+            jax.ShapeDtypeStruct((2, m, m), F32),      # HBM staging
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m, m), F32),        # Binv
+            pltpu.VMEM((1, m), F32),        # xB
+            pltpu.VMEM((1, n), F32),        # d
+            pltpu.VMEM((1, m), F32),        # loB
+            pltpu.VMEM((1, m), F32),        # hiB
+            pltpu.VMEM((1, m), F32),        # cB
+            pltpu.VMEM((1, n), F32),        # Devex weights
+            pltpu.VMEM((1, n), F32),        # d1 (phase-1 composite)
+            pltpu.VMEM((1, m), F32),        # rowbuf (column DMA pad)
+            pltpu.VMEM((2, max(tile_n, tile_m), m), F32),  # Aᵀ tile dbl buffer
+            pltpu.VMEM((max(tile_n, tile_m), m), F32),  # general tile temp
+            pltpu.SMEM((m,), jnp.int32),    # basis (scalar-indexable)
+            pltpu.SMEM((1,), F32),          # Newton divergence telltale
+            pltpu.SemaphoreType.DMA((2,)),  # tile-buffer semaphores
+            pltpu.SemaphoreType.DMA(()),    # row/bulk semaphore
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(AT32, b32, c32, lo32, hi32)
+
+
+def solve_streaming_pallas(
+    A, b, c, lo, hi,
+    *,
+    slack0: int | None = None,
+    tile_n: int = 512,
+    max_iter: int = 50_000,
+    refactor_period: int = 64,
+    newton_sweeps: int = 2,
+    feas_tol: float = 1e-5,
+    opt_tol: float = 1e-6,
+    pivot_tol: float = 1e-6,
+    bland_after: int = 400,
+    interpret: bool = False,
+) -> PallasStreamResult:
+    """Solve ONE canonical LP with A streamed from HBM (module docstring).
+
+    m must be a multiple of 8 (canonical row_align).  n is padded here to a
+    multiple of `tile_n` with inert FIXED columns (zero A column, lo=hi=0 —
+    the canonical.py invariant: FIXED is never eligible to enter).  The
+    refresh sweeps tile the m-dimension separately with `tile_m` = the
+    largest power-of-two divisor of m (≤ tile_n); canonical row padding
+    (multiples of 8) guarantees tile_m ≥ 8.
+    """
+    import numpy as np
+
+    m, n = A.shape
+    if slack0 is None:
+        slack0 = n - m
+    n_pad = -(-n // tile_n) * tile_n
+    if n_pad != n:
+        pad = n_pad - n
+        A = np.concatenate([np.asarray(A), np.zeros((m, pad), A.dtype)], axis=1)
+        c = np.concatenate([np.asarray(c), np.zeros(pad, np.asarray(c).dtype)])
+        lo = np.concatenate([np.asarray(lo), np.zeros(pad)])
+        hi = np.concatenate([np.asarray(hi), np.zeros(pad)])
+    if m % 8:
+        raise ValueError(f"m={m} must be a multiple of 8 (canonical row_align)")
+    # largest divisor of m that is a multiple of 8 (sublane alignment) and
+    # fits the tile buffer
+    tile_m = 8
+    for dcand in range(min(tile_n, m), 7, -8):
+        if m % dcand == 0:
+            tile_m = dcand
+            break
+
+    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=F32)
+    AT32 = jnp.asarray(np.ascontiguousarray(np.asarray(A, np.float32).T))
+    with jax.enable_x64(False), jax.default_matmul_precision("highest"):
+        out = stream_kernel_call(
+            AT32, f32(b)[None, :], f32(c)[None, :],
+            f32(lo)[None, :], f32(hi)[None, :],
+            slack0=slack0, tile_n=tile_n, tile_m=int(tile_m),
+            max_iter=max_iter,
+            refactor_period=refactor_period, newton_sweeps=newton_sweeps,
+            feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
+            bland_after=bland_after, interpret=interpret,
+        )
+    basis = out[0][0]
+    vstat = out[1][0]
+    status = out[2][0, 0]
+    niter = out[3][0, 0]
+    obj, verified, x = _verify_f64(
+        np.asarray(A, np.float64)[None], np.asarray(b, np.float64)[None],
+        np.asarray(c, np.float64)[None], np.asarray(lo, np.float64)[None],
+        np.asarray(hi, np.float64)[None],
+        np.asarray(basis)[None], np.asarray(vstat)[None],
+        np.asarray(status)[None],
+    )
+    # strip the inert tile-padding columns from the caller-facing arrays
+    return PallasStreamResult(
+        basis=basis, vstat=vstat[:n], status=status, niter=niter,
+        obj=obj[0], verified=verified[0], x=x[0][:n],
+    )

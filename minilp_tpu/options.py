@@ -64,6 +64,15 @@ class SolverOptions:
     #: the host; silent fallback to the XLA engine when uncertified),
     #: "always" forces it (interpret mode off-TPU), "never" disables.
     use_megakernel: str = "auto"
+    #: Netlib-scale TPU path: single LPs beyond the megakernel's VMEM
+    #: envelope (padded M in (512, 4096], N ≤ 32768) route through the
+    #: HBM-streaming Pallas kernel (A transposed in HBM, B⁻¹ VMEM-resident,
+    #: one Aᵀ stream per pivot — ops/kernels/streaming_simplex.py) with the
+    #: same f32-iterate + exact-f64-certify + host-polish contract; a
+    #: mid-solve NUMERICAL exit (basis conditioning beyond f32) hands the
+    #: basis to the exact host engine.  "always" forces it (interpret mode
+    #: off-TPU), "never" disables.
+    use_streaming: str = "auto"
     #: Mid-size TPU path: when an LP is too big for the megakernel's VMEM
     #: envelope and the working dtype is float64, "auto" first runs the XLA
     #: engine in float32 (loosened tolerances) and adopts the answer only

@@ -1,0 +1,106 @@
+"""HBM-streaming single-LP kernel gate (interpret mode on CPU; real-TPU runs
+are covered by bench.py's netlib-shape line and the chip-gated suite).
+
+Covers: oracle agreement on random canonical LPs, agreement with the XLA
+engine (pivot-for-pivot on these sizes), the canonicalize() layout (slack
+block at slack0=nv with inert padding), n-padding to the tile size, and the
+driver routing with use_streaming="always"."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from minilp_tpu.options import SolverOptions
+from minilp_tpu.ops.kernels.streaming_simplex import solve_streaming_pallas
+from minilp_tpu.parallel.batched import make_random_batch
+from minilp_tpu.status import Status
+
+from .oracle import random_problem, solve_with_oracle
+
+
+@pytest.mark.parametrize("seed,m,nv", [(0, 8, 16), (1, 16, 24), (2, 16, 40)])
+def test_streaming_matches_oracle(seed, m, nv):
+    from scipy.optimize import linprog
+
+    args = make_random_batch(jax.random.PRNGKey(seed), 1, m, nv)
+    A, b, c, lo, hi, _, _ = [np.asarray(x[0]) for x in args]
+    res = solve_streaming_pallas(A, b, c, lo, hi, tile_n=16, interpret=True)
+    assert int(res.status) == int(Status.OPTIMAL)
+    assert bool(res.verified)
+    bounds = [
+        (lo[j] if np.isfinite(lo[j]) else None,
+         hi[j] if np.isfinite(hi[j]) else None)
+        for j in range(c.shape[0])
+    ]
+    r = linprog(c, A_eq=A, b_eq=b, bounds=bounds, method="highs")
+    assert r.status == 0
+    assert abs(float(res.obj) - r.fun) <= 1e-9 * (1 + abs(r.fun))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_streaming_agrees_with_xla_engine(seed):
+    from minilp_tpu.engine.primal import solve_canonical
+
+    args = make_random_batch(jax.random.PRNGKey(100 + seed), 1, 16, 32)
+    A, b, c, lo, hi, vs, bs = [x[0] for x in args]
+    ref = solve_canonical(A, b, c, lo, hi, vs, bs, SolverOptions(max_iter=2000))
+    res = solve_streaming_pallas(
+        np.asarray(A), np.asarray(b), np.asarray(c), np.asarray(lo),
+        np.asarray(hi), tile_n=16, interpret=True,
+    )
+    assert int(res.status) == int(ref.status) == int(Status.OPTIMAL)
+    assert bool(res.verified)
+    np.testing.assert_allclose(float(res.obj), float(ref.obj),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_streaming_n_padding_inert():
+    # n not a multiple of tile_n → wrapper pads with FIXED zero columns;
+    # answers must be identical to the unpadded tile size
+    args = make_random_batch(jax.random.PRNGKey(9), 1, 8, 20)  # n = 28
+    A, b, c, lo, hi, _, _ = [np.asarray(x[0]) for x in args]
+    r16 = solve_streaming_pallas(A, b, c, lo, hi, tile_n=16, interpret=True)
+    r8 = solve_streaming_pallas(A, b, c, lo, hi, tile_n=8, interpret=True)
+    assert int(r16.status) == int(r8.status) == int(Status.OPTIMAL)
+    assert bool(r16.verified) and bool(r8.verified)
+    np.testing.assert_allclose(float(r16.obj), float(r8.obj),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_streaming_canonical_layout(seed):
+    """Kernel on canonicalize() output (slack block at slack0=nv, inert
+    padding after): free vars, at-upper vars, Eq/Ge rows, maximize."""
+    from minilp_tpu.canonical import canonicalize
+
+    rng = np.random.default_rng(8200 + seed)
+    prob = random_problem(
+        rng, nv=int(rng.integers(4, 10)), m=int(rng.integers(2, 8))
+    )
+    outcome, obj, _x = solve_with_oracle(prob)
+    if outcome != "optimal":
+        pytest.skip("instance not optimal")
+    can = canonicalize(prob, dtype=np.float64)
+    res = solve_streaming_pallas(
+        can.A, can.b, can.c, can.lo, can.hi, slack0=can.nv, tile_n=8,
+        interpret=True,
+    )
+    assert int(res.status) == int(Status.OPTIMAL)
+    assert bool(res.verified)
+    got = float(can.obj_sign * float(res.obj))
+    assert abs(got - obj) <= 1e-9 * (1 + abs(obj))
+
+
+def test_driver_routes_streaming_always():
+    from minilp_tpu import ComparisonOp, OptimizationDirection, Problem
+
+    opts = SolverOptions(use_streaming="always", use_megakernel="never",
+                         f32_midsize="never")
+    prob = Problem(OptimizationDirection.Maximize, options=opts)
+    x = prob.add_var(1.0, (0.0, None))
+    y = prob.add_var(2.0, (0.0, 3.0))
+    prob.add_constraint(x + y, ComparisonOp.Le, 4.0)
+    sol = prob.solve()
+    assert abs(sol.objective() - 7.0) <= 1e-9
+    assert sol._engine.certified is True

@@ -444,9 +444,29 @@ def _try_streaming_solve(
     from ..ops.kernels.streaming_simplex import solve_streaming_pallas
 
     interpret = jax.default_backend() != "tpu"
+    # m is the lane dimension of every streamed tile: pad rows to a multiple
+    # of 128 with inert rows (zero row, b = 0, slack basic at bounds [0, 0] —
+    # never violated, never priced; the canonical.py invariant).  The slack
+    # block must stay contiguous at [nv, nv+M2), so the padded form re-lays
+    # columns as [structural | M2 slacks] and drops can's inert tail padding
+    # (re-added to vstat on the way back).
+    M, nv = can.M, can.nv
+    M2 = -(-M // 128) * 128
+    A, b, c, lo, hi = can.A, can.b, can.c, can.lo, can.hi
+    if M2 != M:
+        extra = M2 - M
+        n2 = nv + M2
+        A2 = np.zeros((M2, n2), dtype=can.A.dtype)
+        A2[:M, : nv + M] = can.A[:, : nv + M]
+        A2[np.arange(M, M2), nv + M + np.arange(extra)] = 1.0
+        b = np.concatenate([can.b, np.zeros(extra, can.b.dtype)])
+        c = np.concatenate([can.c[: nv + M], np.zeros(extra, can.c.dtype)])
+        lo = np.concatenate([can.lo[: nv + M], np.zeros(extra, can.lo.dtype)])
+        hi = np.concatenate([can.hi[: nv + M], np.zeros(extra, can.hi.dtype)])
+        A = A2
     try:
         res = solve_streaming_pallas(
-            can.A, can.b, can.c, can.lo, can.hi,
+            A, b, c, lo, hi,
             slack0=can.nv,
             max_iter=opts.effective_max_iter(can.M, can.N),
             refactor_period=max(opts.refactor_period, 32),
@@ -456,6 +476,13 @@ def _try_streaming_solve(
         return None
     basis = np.asarray(res.basis)
     vstat = np.asarray(res.vstat).astype(np.int8)
+    if M2 != M:
+        # map back: rows [M, M2) are inert (own slacks basic, untouched);
+        # real slack indices coincide ([nv, nv+M) in both layouts)
+        basis = basis[:M]
+        vstat_can = np.full(can.N, int(VarStat.FIXED), dtype=np.int8)
+        vstat_can[: nv + M] = vstat[: nv + M]
+        vstat = vstat_can
     if bool(res.verified):
         return _state_from_certified_basis(
             can, basis, vstat, int(res.niter), opts

@@ -672,6 +672,13 @@ def solve_streaming_pallas(
         c = np.concatenate([np.asarray(c), np.zeros(pad, np.asarray(c).dtype)])
         lo = np.concatenate([np.asarray(lo), np.zeros(pad)])
         hi = np.concatenate([np.asarray(hi), np.zeros(pad)])
+    if m % 128 and not interpret:
+        # m is the LANE dimension of every streamed tile (Aᵀ is (n, m)) and
+        # Mosaic requires lane slices 128-aligned; the driver pads rows to
+        # 128 with inert rows (zero row, b=0, slack basic at [0,0]) before
+        # calling (driver._try_streaming_solve).  Interpreter mode has no
+        # tiling constraint — small-shape CI gates run unpadded.
+        raise ValueError(f"m={m} must be a multiple of 128 (TPU lane tiling)")
     if m % 8:
         raise ValueError(f"m={m} must be a multiple of 8 (canonical row_align)")
     # largest divisor of m that is a multiple of 8 (sublane alignment) and

@@ -321,56 +321,41 @@ def add_gomory_cut(handle, idx: int):
 
     # Gomory mixed-integer cut over the *shifted* non-basic variables
     # x'_j = x_j - lo_j (at lower) or hi_j - x_j (at upper):  Σ γ_j x'_j ≥ 1.
+    # Fully vectorized — no per-nonzero Python (SURVEY.md §3's intent holds
+    # on the cut path too, which matters when cuts are derived at Netlib
+    # scale where n_active is thousands).
     n_active = can.nv + can.M
-    gamma = np.zeros(n_active)
-    for j in range(n_active):
-        vs = vstat[j]
-        if vs == int(VarStat.BASIC) or vs == int(VarStat.FIXED):
-            continue
-        a = float(alpha[j])
-        if vs == int(VarStat.AT_UPPER):
-            a = -a  # shifted variable hi_j - x_j
-        if abs(a) < 1e-12:
-            continue
-        if vs == int(VarStat.FREE):
-            # The GMI derivation needs non-negative shifted variables; a free
-            # non-basic with support in the row would make the cut invalid.
-            raise ValueError(
-                "add_gomory_cut: row involves a free non-basic variable"
-            )
-        if j < can.nv:
-            # integer variable: fractional-part formula
-            fj = a - math.floor(a)
-            g = min(fj / f0, (1.0 - fj) / (1.0 - f0))
-        else:
-            # continuous (slack): MIR formula
-            g = a / f0 if a > 0 else -a / (1.0 - f0)
-        gamma[j] = g
+    vs = vstat[:n_active]
+    at_upper = vs == int(VarStat.AT_UPPER)
+    inactive = (vs == int(VarStat.BASIC)) | (vs == int(VarStat.FIXED))
+    a = np.where(at_upper, -alpha[:n_active], alpha[:n_active]).astype(
+        np.float64
+    )
+    support = ~inactive & (np.abs(a) >= 1e-12)
+    if bool(np.any(support & (vs == int(VarStat.FREE)))):
+        # The GMI derivation needs non-negative shifted variables; a free
+        # non-basic with support in the row would make the cut invalid.
+        raise ValueError(
+            "add_gomory_cut: row involves a free non-basic variable"
+        )
+    is_int = np.arange(n_active) < can.nv
+    fj = a - np.floor(a)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        g_int = np.minimum(fj / f0, (1.0 - fj) / (1.0 - f0))
+        g_cont = np.where(a > 0, a / f0, -a / (1.0 - f0))
+    gamma = np.where(support, np.where(is_int, g_int, g_cont), 0.0)
 
     # Un-shift into original variables: Σ c_j x_j ≥ rhs.
-    coeffs = np.zeros(n_active)
-    rhs = 1.0
-    for j in range(n_active):
-        g = gamma[j]
-        if g == 0.0:
-            continue
-        if vstat[j] == int(VarStat.AT_UPPER):
-            # g·(hi_j - x_j) → -g·x_j, rhs -= g·hi_j ... move constant right
-            coeffs[j] -= g
-            rhs -= g * float(can.hi[j])
-        else:
-            coeffs[j] += g
-            rhs += g * float(can.lo[j]) if math.isfinite(can.lo[j]) else 0.0
+    coeffs = np.where(at_upper, -gamma, gamma)
+    lo_fin = np.where(np.isfinite(can.lo[:n_active]), can.lo[:n_active], 0.0)
+    rhs = 1.0 + float(
+        np.sum(np.where(at_upper, -gamma * can.hi[:n_active], gamma * lo_fin))
+    )
 
     # Substitute slacks:  s_i = b_i - Σ_k A[i,k] x_k (structural support only).
-    cut = coeffs[: can.nv].copy()
-    cut_rhs = rhs
-    for i in range(can.m):
-        g = coeffs[can.nv + i]
-        if g == 0.0:
-            continue
-        cut -= g * can.A[i, : can.nv]
-        cut_rhs -= g * float(can.b[i])
+    gs = coeffs[can.nv : can.nv + can.m]
+    cut = coeffs[: can.nv] - gs @ can.A[: can.m, : can.nv]
+    cut_rhs = rhs - float(gs @ can.b[: can.m])
 
     _append_row(handle, cut, api.ComparisonOp.Ge, cut_rhs)
     _run_dual_resolve(handle)

@@ -55,11 +55,15 @@ def test_netlib_shape_pdhg(name):
 
 @pytest.mark.slow
 @pytest.mark.skipif("not config.getoption('--run-slow', default=False)")
-def test_maros_r7_shape_f32_certified():
+@pytest.mark.skipif(
+    "not __import__('os').environ.get('MINILP_TPU_TEST_TPU')",
+    reason="maros-r7 scale needs the chip (measured >50 min on this CPU); "
+    "the TPU path is the streaming kernel + host handoff",
+)
+def test_maros_r7_shape_certified():
     # 3136×9408 @ ~0.5% — the reference's biggest headline instance
     prob, obj = _instance("maros-r7", seed=1)
-    prob.options = F32_CERT
-    sol = prob.solve()
+    sol = prob.solve()   # auto: streaming kernel → f32+certify → handoff
     assert sol._engine.certified is True
     assert abs(sol.objective() - obj) <= 1e-9 * (1 + abs(obj))
 

@@ -681,13 +681,18 @@ def solve_streaming_pallas(
         raise ValueError(f"m={m} must be a multiple of 128 (TPU lane tiling)")
     if m % 8:
         raise ValueError(f"m={m} must be a multiple of 8 (canonical row_align)")
-    # largest divisor of m that is a multiple of 8 (sublane alignment) and
-    # fits the tile buffer
-    tile_m = 8
-    for dcand in range(min(tile_n, m), 7, -8):
+    # tile_m doubles as a LANE offset in the refresh's H build (columns of
+    # the staged m×m products), so on hardware it must be a multiple of 128:
+    # largest 128-multiple divisor of m that fits the tile buffer.  In
+    # interpreter mode (small CI shapes, m < 128) fall back to 8-multiples.
+    tile_m = 0
+    step = 128 if m % 128 == 0 else 8
+    for dcand in range(min(tile_n, m) - min(tile_n, m) % step, step - 1, -step):
         if m % dcand == 0:
             tile_m = dcand
             break
+    if tile_m == 0:
+        raise ValueError(f"m={m} has no {step}-aligned tile divisor")
 
     f32 = lambda x: jnp.asarray(np.asarray(x), dtype=F32)
     AT32 = jnp.asarray(np.ascontiguousarray(np.asarray(A, np.float32).T))

@@ -81,7 +81,7 @@ def _stream_kernel(
     basis_out, vstat_out, status_out, niter_out, scratch_hbm,
     # scratch
     Binv, xB, d, loB, hiB, cB, wts, d1,
-    rowbuf, tilebuf, tiltmp, basis_smem, tell, sems, rsem,
+    tilebuf, tiltmp, basis_smem, tell, sems, rsem,
     *,
     m: int, n: int, slack0: int, tile_n: int, tile_m: int, max_iter: int,
     refactor_period: int, newton_sweeps: int,
@@ -90,7 +90,6 @@ def _stream_kernel(
     """Single LP.  See module docstring for the memory plan.
 
     scratch_hbm: (2, m, m) f32 HBM staging (slot 0: B then X'; slot 1: H).
-    rowbuf: (1, m) VMEM DMA landing pad (entering column / gather rows).
     tilebuf: (2, tile_n, m) VMEM double buffer for Aᵀ row-tiles.
     tiltmp: (tile_n, m) VMEM general tile temporary (refresh sweeps).
     basis_smem: (m,) int32 SMEM — dynamic scalar indexing for row DMAs.
@@ -237,26 +236,42 @@ def _stream_kernel(
         holds a second m² buffer.  Returns max|I − X·B| (divergence
         telltale; an inverse beyond Newton's basin shows up as an
         uncertified basis at the host anyway)."""
-        # ---- gather Bᵀ rows into slot 0 (bounce each row through VMEM) ------
-        def gbody(i, _):
-            slot = i % 2
-            g = pltpu.make_async_copy(
-                AT_hbm.at[pl.ds(basis_smem[i], 1), :],
-                tilebuf.at[slot, pl.ds(0, 1), :],
-                sems.at[slot],
-            )
-            g.start()
-            g.wait()
+        # ---- gather Bᵀ rows into slot 0 ------------------------------------
+        # HBM slices must be 8-row (sublane) aligned, so each basic column's
+        # row is fetched as the ALIGNED 8-row block containing it and the
+        # wanted row is mask-selected in VMEM; rows are assembled 8 at a time
+        # and put back with one aligned block DMA.
+        def gblock(k, _):
+            def grow(j, acc):
+                idx = basis_smem[k * 8 + j]
+                gb = (idx // 8) * 8          # provably 8-aligned offset
+                g = pltpu.make_async_copy(
+                    AT_hbm.at[pl.ds(gb, 8), :],
+                    tilebuf.at[0, pl.ds(0, 8), :],
+                    rsem,
+                )
+                g.start()
+                g.wait()
+                rows8 = lax.broadcasted_iota(jnp.int32, (8, m), 0)
+                row = jnp.sum(
+                    jnp.where(rows8 == idx - gb,
+                              tilebuf[0, pl.ds(0, 8), :], ZERO),
+                    axis=0, keepdims=True,
+                )
+                return jnp.where(rows8 == j, row, acc)
+
+            blk = lax.fori_loop(0, 8, grow, jnp.zeros((8, m), F32))
+            tiltmp[pl.ds(0, 8), :] = blk
             put = pltpu.make_async_copy(
-                tilebuf.at[slot, pl.ds(0, 1), :],
-                scratch_hbm.at[0, pl.ds(i, 1), :],
+                tiltmp.at[pl.ds(0, 8), :],
+                scratch_hbm.at[0, pl.ds(k * 8, 8), :],
                 rsem,
             )
             put.start()
             put.wait()
             return 0
 
-        lax.fori_loop(0, m, gbody, 0)
+        lax.fori_loop(0, m // 8, gblock, 0)
 
         # ---- H = X·B row-tiles → slot 1 --------------------------------------
         def hb_dma(slot, s):
@@ -403,13 +418,22 @@ def _stream_kernel(
         dq = sel_col(dcur, q)
         s = jnp.where(dq < ZERO, jnp.float32(1.0), jnp.float32(-1.0))
 
-        # ---- FTRAN: one contiguous column DMA + VMEM matvec -------------------
+        # ---- FTRAN: aligned 8-row DMA + mask-select + VMEM matvec ------------
+        # (HBM sublane slices must be 8-aligned; fetch the block containing
+        # row q of Aᵀ and pick the row in VMEM)
+        qb = (q // 8) * 8
         cdma = pltpu.make_async_copy(
-            AT_hbm.at[pl.ds(q, 1), :], rowbuf, rsem
+            AT_hbm.at[pl.ds(qb, 8), :],
+            tilebuf.at[1, pl.ds(0, 8), :],
+            rsem,
         )
         cdma.start()
         cdma.wait()
-        Acol = rowbuf[...]                 # (1, m)
+        rows8 = lax.broadcasted_iota(jnp.int32, (8, m), 0)
+        Acol = jnp.sum(
+            jnp.where(rows8 == q - qb, tilebuf[1, pl.ds(0, 8), :], ZERO),
+            axis=0, keepdims=True,
+        )                                  # (1, m)
         w = (Binv[...] @ Acol.T).T         # (1, m)
 
         # ---- ratio test (identical to the megakernel) -------------------------
@@ -622,7 +646,6 @@ def stream_kernel_call(
             pltpu.VMEM((1, m), F32),        # cB
             pltpu.VMEM((1, n), F32),        # Devex weights
             pltpu.VMEM((1, n), F32),        # d1 (phase-1 composite)
-            pltpu.VMEM((1, m), F32),        # rowbuf (column DMA pad)
             pltpu.VMEM((2, max(tile_n, tile_m), m), F32),  # Aᵀ tile dbl buffer
             pltpu.VMEM((max(tile_n, tile_m), m), F32),  # general tile temp
             pltpu.SMEM((m,), jnp.int32),    # basis (scalar-indexable)

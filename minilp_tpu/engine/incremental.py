@@ -133,8 +133,92 @@ def _try_megakernel_resolve(handle, event: str) -> bool:
     return True
 
 
+def _try_streaming_resolve(handle, event: str) -> bool:
+    """Warm re-solve through the HBM-streaming kernel (Netlib-scale TPU path).
+
+    Mirrors `_try_megakernel_resolve` for instances beyond the megakernel's
+    VMEM envelope: restart the streaming kernel from (basis, vstat,
+    maintained inverse), certify the result in exact f64, host-polish
+    near-optimal/NUMERICAL outcomes.  Row padding to the kernel's 128-lane
+    requirement extends the state exactly (new rows are zero rows with their
+    own basic slacks: [[B,0],[0,I]]⁻¹ = [[B⁻¹,0],[0,I]])."""
+    can = handle.can
+    opts = handle.opts
+    if not _driver._streaming_eligible(can, opts):
+        return False
+    from ..ops.kernels.streaming_simplex import solve_streaming_pallas
+
+    M, nv = can.M, can.nv
+    M2 = -(-M // 128) * 128
+    A, b, c, lo, hi = can.A, can.b, can.c, can.lo, can.hi
+    basis0 = np.asarray(handle.state.basis)
+    vstat0 = np.asarray(handle.state.vstat)
+    Binv0 = np.asarray(handle.state.Binv)
+    if M2 != M:
+        extra = M2 - M
+        n2 = nv + M2
+        A2 = np.zeros((M2, n2), dtype=can.A.dtype)
+        A2[:M, : nv + M] = can.A[:, : nv + M]
+        A2[np.arange(M, M2), nv + M + np.arange(extra)] = 1.0
+        b = np.concatenate([can.b, np.zeros(extra, can.b.dtype)])
+        c = np.concatenate([can.c[: nv + M], np.zeros(extra, can.c.dtype)])
+        lo = np.concatenate([can.lo[: nv + M], np.zeros(extra, can.lo.dtype)])
+        hi = np.concatenate([can.hi[: nv + M], np.zeros(extra, can.hi.dtype)])
+        A = A2
+        basis0 = np.concatenate([
+            basis0, nv + M + np.arange(extra, dtype=np.int32)
+        ])
+        vstat0 = np.concatenate([
+            vstat0[: nv + M],
+            np.full(extra, int(VarStat.BASIC), dtype=vstat0.dtype),
+        ])
+        Binv2 = np.eye(M2, dtype=np.float64)
+        Binv2[:M, :M] = Binv0
+        Binv0 = Binv2
+    interpret = jax.default_backend() != "tpu"
+    with records.timed() as t:
+        try:
+            res = solve_streaming_pallas(
+                A, b, c, lo, hi, slack0=nv,
+                max_iter=opts.effective_max_iter(can.M, can.N),
+                refactor_period=max(opts.refactor_period, 32),
+                interpret=interpret,
+                warm_state=(basis0, vstat0, Binv0),
+            )
+        except Exception:
+            return False
+        basis = np.asarray(res.basis)[:M]
+        vstat = np.asarray(res.vstat).astype(np.int8)
+        if M2 != M:
+            vstat_can = np.full(can.N, int(VarStat.FIXED), dtype=np.int8)
+            vstat_can[: nv + M] = vstat[: nv + M]
+            vstat = vstat_can
+        if bool(res.verified):
+            state = _driver._state_from_certified_basis(
+                can, basis, vstat, int(res.niter), opts
+            )
+        elif int(res.status) in (int(Status.OPTIMAL), int(Status.NUMERICAL)):
+            state = _driver._host_polish_from_basis(
+                can, basis, vstat, opts, niter0=int(res.niter)
+            )
+        else:
+            state = None
+    if state is None:
+        return False
+    _driver._emit_record(event + "_streaming", can, state,
+                         int(Status.OPTIMAL), t.wall_s, opts)
+    handle.state = state
+    handle._x_cache = None
+    handle._exact_obj = None
+    handle.certified = None
+    handle.certify()
+    return True
+
+
 def _run_dual_resolve(handle) -> None:
     if _try_megakernel_resolve(handle, "dual_resolve"):
+        return
+    if _try_streaming_resolve(handle, "dual_resolve"):
         return
     can = handle.can
 
@@ -162,6 +246,8 @@ def _run_dual_resolve(handle) -> None:
 
 def _run_primal_resolve(handle) -> None:
     if _try_megakernel_resolve(handle, "primal_resolve"):
+        return
+    if _try_streaming_resolve(handle, "primal_resolve"):
         return
     can = handle.can
 

@@ -77,15 +77,13 @@ def _stream_kernel(
     # inputs
     AT_hbm,               # (n, m) f32, HBM/ANY — A transposed
     b_ref, c_ref, lo_ref, hi_ref,     # (1,m), (1,n)×3 VMEM
-    # outputs
-    basis_out, vstat_out, status_out, niter_out, scratch_hbm,
-    # scratch
-    Binv, xB, d, loB, hiB, cB, wts, d1,
-    tilebuf, tiltmp, basis_smem, tell, sems, rsem,
-    *,
+    # [warm=True only] basis0 (1,m) i32, vstat0 (1,n) i32, Binv0 (m,m) f32,
+    # then outputs and scratch
+    *refs_and_scratch,
     m: int, n: int, slack0: int, tile_n: int, tile_m: int, max_iter: int,
     refactor_period: int, newton_sweeps: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
+    warm: bool = False,
 ):
     """Single LP.  See module docstring for the memory plan.
 
@@ -98,7 +96,20 @@ def _stream_kernel(
         NUMERICAL so the host f64 engine can take over mid-solve).
     sems: DMA semaphore array (2,) for the tile double buffer;
     rsem: single DMA semaphore for row/bulk copies.
+
+    With warm=True the kernel restarts from (basis0, vstat0, Binv0) — the
+    incremental API's warm restart at Netlib scale (the maintained inverse is
+    the Newton seed; fresh=0 forces a refresh before any terminal claim).
     """
+    if warm:
+        (basis0_ref, vstat0_ref, Binv0_ref,
+         basis_out, vstat_out, status_out, niter_out, scratch_hbm,
+         Binv, xB, d, loB, hiB, cB, wts, d1,
+         tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
+    else:
+        (basis_out, vstat_out, status_out, niter_out, scratch_hbm,
+         Binv, xB, d, loB, hiB, cB, wts, d1,
+         tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
     ONE = jnp.float32(1.0)
     n_tiles = n // tile_n
@@ -146,39 +157,76 @@ def _stream_kernel(
 
         lax.fori_loop(0, n_tiles, body, 0)
 
-    # ---- cold start --------------------------------------------------------------
-    # identity inverse built tile-by-tile: a full (m, m) iota-compare would
-    # materialize two m² int32 temporaries (~80 MB at maros scale)
     tb = tile_m
     m_tiles = m // tb
 
-    def eye_tile(t, _):
-        ri = lax.broadcasted_iota(jnp.int32, (tb, m), 0) + t * tb
-        ci = lax.broadcasted_iota(jnp.int32, (tb, m), 1)
-        Binv[pl.ds(t * tb, tb), :] = (ri == ci).astype(F32)
-        return 0
+    if warm:
+        # ---- warm restart: state handed in by the incremental API ------------
+        Binv[...] = Binv0_ref[...]
+        basis_out[...] = basis0_ref[...]
+        vstat_out[...] = vstat0_ref[...]
+        # gathered basic bounds/costs: per-tile masked accumulation (a full
+        # (m, n) mask would be ~160 MB at maros scale); masked selects keep
+        # unselected ±inf bounds out of the sums
+        loB[...] = jnp.zeros((1, m), F32)
+        hiB[...] = jnp.zeros((1, m), F32)
+        cB[...] = jnp.zeros((1, m), F32)
 
-    lax.fori_loop(0, m_tiles, eye_tile, 0)
-    basis_out[...] = row_ids + slack0
-    is_slack = (col_ids >= slack0) & (col_ids < slack0 + m)
-    vstat0 = jnp.where(
-        jnp.isfinite(lo), jnp.int32(VarStat.AT_LOWER),
-        jnp.where(jnp.isfinite(hi), jnp.int32(VarStat.AT_UPPER),
-                  jnp.int32(VarStat.FREE)),
-    )
-    vstat0 = jnp.where(lo == hi, jnp.int32(VarStat.FIXED), vstat0)
-    vstat0 = jnp.where(is_slack, jnp.int32(VarStat.BASIC), vstat0)
-    vstat_out[...] = vstat0
-    loB[...] = lo[:, slack0:slack0 + m]
-    hiB[...] = hi[:, slack0:slack0 + m]
-    cB[...] = c[:, slack0:slack0 + m]
+        def warm_gather(t, _):
+            gid_t = (lax.broadcasted_iota(jnp.int32, (1, tile_n), 1)
+                     + t * tile_n)
+            sel = gid_t == basis0_ref[...].T              # (m, tile_n)
+            sl = (slice(None), pl.ds(t * tile_n, tile_n))
+            bc = lambda v: jnp.broadcast_to(v, (m, tile_n))
+            loB[...] = loB[...] + jnp.sum(
+                jnp.where(sel, bc(lo_ref[sl]), ZERO), axis=1, keepdims=True
+            ).T
+            hiB[...] = hiB[...] + jnp.sum(
+                jnp.where(sel, bc(hi_ref[sl]), ZERO), axis=1, keepdims=True
+            ).T
+            cB[...] = cB[...] + jnp.sum(
+                jnp.where(sel, bc(c_ref[sl]), ZERO), axis=1, keepdims=True
+            ).T
+            return 0
+
+        lax.fori_loop(0, n_tiles, warm_gather, 0)
+
+        def init_smem(i, _):
+            basis_smem[i] = sel_row(basis0_ref[...], i)
+            return 0
+
+        lax.fori_loop(0, m, init_smem, 0)
+    else:
+        # ---- cold start -------------------------------------------------------
+        # identity inverse built tile-by-tile: a full (m, m) iota-compare
+        # would materialize two m² int32 temporaries (~80 MB at maros scale)
+        def eye_tile(t, _):
+            ri = lax.broadcasted_iota(jnp.int32, (tb, m), 0) + t * tb
+            ci = lax.broadcasted_iota(jnp.int32, (tb, m), 1)
+            Binv[pl.ds(t * tb, tb), :] = (ri == ci).astype(F32)
+            return 0
+
+        lax.fori_loop(0, m_tiles, eye_tile, 0)
+        basis_out[...] = row_ids + slack0
+        is_slack = (col_ids >= slack0) & (col_ids < slack0 + m)
+        vstat0 = jnp.where(
+            jnp.isfinite(lo), jnp.int32(VarStat.AT_LOWER),
+            jnp.where(jnp.isfinite(hi), jnp.int32(VarStat.AT_UPPER),
+                      jnp.int32(VarStat.FREE)),
+        )
+        vstat0 = jnp.where(lo == hi, jnp.int32(VarStat.FIXED), vstat0)
+        vstat0 = jnp.where(is_slack, jnp.int32(VarStat.BASIC), vstat0)
+        vstat_out[...] = vstat0
+        loB[...] = lo[:, slack0:slack0 + m]
+        hiB[...] = hi[:, slack0:slack0 + m]
+        cB[...] = c[:, slack0:slack0 + m]
+
+        def init_smem(i, _):
+            basis_smem[i] = slack0 + i
+            return 0
+
+        lax.fori_loop(0, m, init_smem, 0)
     wts[...] = jnp.ones_like(c)
-
-    def init_smem(i, _):
-        basis_smem[i] = slack0 + i
-        return 0
-
-    lax.fori_loop(0, m, init_smem, 0)
     tell[0] = ZERO
 
     def nonbasic_x(vstat):
@@ -586,9 +634,12 @@ def _stream_kernel(
         status = jnp.where(diverged, jnp.int32(Status.NUMERICAL), status)
         return (status, niter, phase, noimp, best, fresh, force)
 
+    # warm restarts distrust the handed-in (f32-cast) inverse: fresh=0 forces
+    # a Newton refresh before any terminal claim is believed
     init = (
         jnp.int32(Status.RUNNING), jnp.int32(0), jnp.int32(1),
-        jnp.int32(0), jnp.float32(jnp.inf), jnp.int32(1), jnp.int32(0),
+        jnp.int32(0), jnp.float32(jnp.inf),
+        jnp.int32(0 if warm else 1), jnp.int32(0),
     )
     status, niter, *_rest = lax.while_loop(cond, body, init)
     status = jnp.where(
@@ -607,24 +658,27 @@ def _stream_kernel(
     ),
 )
 def stream_kernel_call(
-    AT32, b32, c32, lo32, hi32, *,
+    AT32, b32, c32, lo32, hi32, *warm_args,
     slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
     feas_tol, opt_tol, pivot_tol, bland_after, interpret,
 ):
     n, m = AT32.shape
+    warm = bool(warm_args)
     kern = functools.partial(
         _stream_kernel, m=m, n=n, slack0=slack0, tile_n=tile_n,
         tile_m=tile_m,
         max_iter=max_iter, refactor_period=refactor_period,
         newton_sweeps=newton_sweeps, feas_tol=feas_tol, opt_tol=opt_tol,
-        pivot_tol=pivot_tol, bland_after=bland_after,
+        pivot_tol=pivot_tol, bland_after=bland_after, warm=warm,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    warm_specs = [vspec(), vspec(), vspec()] if warm else []
     return pl.pallas_call(
         kern,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # AT stays in HBM
             vspec(), vspec(), vspec(), vspec(),
+            *warm_specs,
         ],
         out_specs=[
             vspec(), vspec(), vspec(), vspec(),
@@ -657,7 +711,7 @@ def stream_kernel_call(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(AT32, b32, c32, lo32, hi32)
+    )(AT32, b32, c32, lo32, hi32, *warm_args)
 
 
 def solve_streaming_pallas(
@@ -673,15 +727,21 @@ def solve_streaming_pallas(
     pivot_tol: float = 1e-6,
     bland_after: int = 400,
     interpret: bool = False,
+    warm_state=None,
 ) -> PallasStreamResult:
     """Solve ONE canonical LP with A streamed from HBM (module docstring).
 
-    m must be a multiple of 8 (canonical row_align).  n is padded here to a
-    multiple of `tile_n` with inert FIXED columns (zero A column, lo=hi=0 —
-    the canonical.py invariant: FIXED is never eligible to enter).  The
-    refresh sweeps tile the m-dimension separately with `tile_m` = the
-    largest power-of-two divisor of m (≤ tile_n); canonical row padding
-    (multiples of 8) guarantees tile_m ≥ 8.
+    m must be a multiple of 8 (canonical row_align; 128 on hardware — the
+    driver pads).  n is padded here to a multiple of `tile_n` with inert
+    FIXED columns (zero A column, lo=hi=0 — the canonical.py invariant:
+    FIXED is never eligible to enter).  The refresh sweeps tile the
+    m-dimension separately with `tile_m` = the largest 128-multiple divisor
+    of m (8-multiple in interpreter mode).
+
+    `warm_state=(basis0 (m,) int, vstat0 (n,) int, Binv0 (m, m))` restarts
+    from that state instead of the slack basis — the incremental API's warm
+    restart at Netlib scale (SURVEY.md §4.2); the maintained inverse is the
+    Newton seed and a refresh precedes any terminal claim.
     """
     import numpy as np
 
@@ -695,6 +755,21 @@ def solve_streaming_pallas(
         c = np.concatenate([np.asarray(c), np.zeros(pad, np.asarray(c).dtype)])
         lo = np.concatenate([np.asarray(lo), np.zeros(pad)])
         hi = np.concatenate([np.asarray(hi), np.zeros(pad)])
+    if warm_state is not None:
+        basis0, vstat0, Binv0 = warm_state
+        vstat0 = np.asarray(vstat0, dtype=np.int32)
+        if vstat0.shape[0] != n_pad:  # tile padding columns are inert FIXED
+            vstat0 = np.concatenate([
+                vstat0,
+                np.full(n_pad - vstat0.shape[0], int(VarStat.FIXED), np.int32),
+            ])
+        warm_args = (
+            jnp.asarray(np.asarray(basis0, dtype=np.int32))[None, :],
+            jnp.asarray(vstat0)[None, :],
+            jnp.asarray(np.asarray(Binv0), dtype=F32),
+        )
+    else:
+        warm_args = ()
     if m % 128 and not interpret:
         # m is the LANE dimension of every streamed tile (Aᵀ is (n, m)) and
         # Mosaic requires lane slices 128-aligned; the driver pads rows to
@@ -723,6 +798,7 @@ def solve_streaming_pallas(
         out = stream_kernel_call(
             AT32, f32(b)[None, :], f32(c)[None, :],
             f32(lo)[None, :], f32(hi)[None, :],
+            *warm_args,
             slack0=slack0, tile_n=tile_n, tile_m=int(tile_m),
             max_iter=max_iter,
             refactor_period=refactor_period, newton_sweeps=newton_sweeps,

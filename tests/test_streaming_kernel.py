@@ -92,6 +92,49 @@ def test_streaming_canonical_layout(seed):
     assert abs(got - obj) <= 1e-9 * (1 + abs(obj))
 
 
+def test_streaming_warm_restart():
+    # solve cold, then warm-restart from the OPTIMAL state: 0 extra pivots,
+    # same certified objective (the incremental API's Netlib-scale restart)
+    args = make_random_batch(jax.random.PRNGKey(21), 1, 16, 32)
+    A, b, c, lo, hi, _, _ = [np.asarray(x[0]) for x in args]
+    cold = solve_streaming_pallas(A, b, c, lo, hi, tile_n=16, interpret=True)
+    assert int(cold.status) == int(Status.OPTIMAL) and bool(cold.verified)
+    # exact f64 inverse of the discovered basis as the warm seed
+    Binv0 = np.linalg.inv(A[:, np.asarray(cold.basis)])
+    warm = solve_streaming_pallas(
+        A, b, c, lo, hi, tile_n=16, interpret=True,
+        warm_state=(np.asarray(cold.basis), np.asarray(cold.vstat), Binv0),
+    )
+    assert int(warm.status) == int(Status.OPTIMAL) and bool(warm.verified)
+    assert int(warm.niter) == 0
+    np.testing.assert_allclose(float(warm.obj), float(cold.obj),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_streaming_warm_restart_after_bound_change():
+    # tighten a box after the cold solve: the warm restart must re-optimize
+    # to the new optimum and agree with a cold solve of the edited problem
+    args = make_random_batch(jax.random.PRNGKey(22), 1, 16, 32)
+    A, b, c, lo, hi, _, _ = [np.asarray(x[0]) for x in args]
+    cold = solve_streaming_pallas(A, b, c, lo, hi, tile_n=16, interpret=True)
+    assert int(cold.status) == int(Status.OPTIMAL)
+    hi2 = hi.copy()
+    hi2[:32] = np.minimum(hi2[:32], 0.4)   # box the structurals tighter
+    lo2 = lo
+    ref = solve_streaming_pallas(A, b, lo=lo2, hi=hi2, c=c, tile_n=16,
+                                 interpret=True)
+    Binv0 = np.linalg.inv(A[:, np.asarray(cold.basis)])
+    vstat0 = np.asarray(cold.vstat).copy()
+    warm = solve_streaming_pallas(
+        A, b, c, lo2, hi2, tile_n=16, interpret=True,
+        warm_state=(np.asarray(cold.basis), vstat0, Binv0),
+    )
+    assert int(warm.status) == int(ref.status) == int(Status.OPTIMAL)
+    assert bool(warm.verified)
+    np.testing.assert_allclose(float(warm.obj), float(ref.obj),
+                               rtol=1e-9, atol=1e-9)
+
+
 def test_driver_routes_streaming_always():
     from minilp_tpu import ComparisonOp, OptimizationDirection, Problem
 
@@ -104,3 +147,9 @@ def test_driver_routes_streaming_always():
     sol = prob.solve()
     assert abs(sol.objective() - 7.0) <= 1e-9
     assert sol._engine.certified is True
+    # incremental warm re-solves route through the streaming kernel too
+    sol2 = sol.add_constraint(x + y, ComparisonOp.Le, 3.0)
+    assert abs(sol2.objective() - 6.0) <= 1e-9
+    assert sol2._engine.certified is True
+    sol3 = sol2.fix_var(y, 1.0)   # x + y <= 3, y = 1 → x = 2, obj = 2 + 2·1
+    assert abs(sol3.objective() - 4.0) <= 1e-9

@@ -229,12 +229,6 @@ def _stream_kernel(
     wts[...] = jnp.ones_like(c)
     tell[0] = ZERO
 
-    def nonbasic_x(vstat):
-        x = jnp.where(vstat == VarStat.AT_LOWER, lo, ZERO)
-        x = jnp.where(vstat == VarStat.AT_UPPER, hi, x)
-        x = jnp.where(vstat == VarStat.FIXED, lo, x)
-        return x  # (1, n)
-
     def tile_vectors(t):
         """(vstat, c, lo, hi) slices for tile t, read from refs (Mosaic has
         no dynamic_slice on values; tile-aligned ref reads lower fine)."""

@@ -104,11 +104,11 @@ def _stream_kernel(
     if warm:
         (basis0_ref, vstat0_ref, Binv0_ref,
          basis_out, vstat_out, status_out, niter_out, scratch_hbm,
-         Binv, xB, d, loB, hiB, cB, wts, d1,
+         Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     else:
         (basis_out, vstat_out, status_out, niter_out, scratch_hbm,
-         Binv, xB, d, loB, hiB, cB, wts, d1,
+         Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
     ONE = jnp.float32(1.0)
@@ -589,7 +589,24 @@ def _stream_kernel(
 
         @pl.when(do_pivot)
         def _():
-            Binv[...] = Binv[...] - (w - onehot_r).T @ pr
+            # PFI rank-1 inverse update, tiled over row blocks: the one-shot
+            # outer-product form materializes an (m, m) temporary (~41 MB at
+            # maros scale) on top of Binv itself, overflowing the VMEM
+            # budget; per-tile it is a (tile_m, m) temp.  w and pr are
+            # stashed in refs so tiles can be sliced at provably-aligned
+            # offsets (values can't be dynamically sliced under Mosaic).
+            wrow[...] = w - onehot_r
+            prrow[...] = pr
+
+            def pfi_tile(t, _):
+                sl = pl.ds(t * tb, tb)
+                wt = wrow[:, sl]                       # (1, tb)
+                Binv[sl, :] = Binv[sl, :] - jnp.dot(
+                    wt.T, prrow[...], preferred_element_type=F32
+                )
+                return 0
+
+            lax.fori_loop(0, m_tiles, pfi_tile, 0)
             basis_smem[r] = q
 
         # ---- status transitions (terminal only from fresh state) --------------
@@ -694,6 +711,8 @@ def stream_kernel_call(
             pltpu.VMEM((1, m), F32),        # cB
             pltpu.VMEM((1, n), F32),        # Devex weights
             pltpu.VMEM((1, n), F32),        # d1 (phase-1 composite)
+            pltpu.VMEM((1, m), F32),        # wrow (PFI tile stash)
+            pltpu.VMEM((1, m), F32),        # prrow (PFI tile stash)
             pltpu.VMEM((2, max(tile_n, tile_m), m), F32),  # Aᵀ tile dbl buffer
             pltpu.VMEM((max(tile_n, tile_m), m), F32),  # general tile temp
             pltpu.SMEM((m,), jnp.int32),    # basis (scalar-indexable)

@@ -103,11 +103,11 @@ def _stream_kernel(
     """
     if warm:
         (basis0_ref, vstat0_ref, Binv0_ref,
-         basis_out, vstat_out, status_out, niter_out, scratch_hbm,
+         basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     else:
-        (basis_out, vstat_out, status_out, niter_out, scratch_hbm,
+        (basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
@@ -162,7 +162,10 @@ def _stream_kernel(
 
     if warm:
         # ---- warm restart: state handed in by the incremental API ------------
-        Binv[...] = Binv0_ref[...]
+        # Binv0 arrives in HBM (a VMEM input would double the m² footprint)
+        bin_dma = pltpu.make_async_copy(Binv0_ref, Binv, rsem)
+        bin_dma.start()
+        bin_dma.wait()
         basis_out[...] = basis0_ref[...]
         vstat_out[...] = vstat0_ref[...]
         # gathered basic bounds/costs: per-tile masked accumulation (a full
@@ -658,6 +661,11 @@ def _stream_kernel(
     )
     status_out[...] = jnp.reshape(status, (1, 1))
     niter_out[...] = jnp.reshape(niter, (1, 1))
+    # export the maintained inverse: the chunked-launch driver feeds it back
+    # as the next launch's warm seed (device-resident, no host round-trip)
+    bout = pltpu.make_async_copy(Binv, Binv_out, rsem)
+    bout.start()
+    bout.wait()
 
 
 @functools.partial(
@@ -683,7 +691,10 @@ def stream_kernel_call(
         pivot_tol=pivot_tol, bland_after=bland_after, warm=warm,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    warm_specs = [vspec(), vspec(), vspec()] if warm else []
+    warm_specs = (
+        [vspec(), vspec(), pl.BlockSpec(memory_space=pltpu.ANY)]
+        if warm else []
+    )
     return pl.pallas_call(
         kern,
         in_specs=[
@@ -694,6 +705,7 @@ def stream_kernel_call(
         out_specs=[
             vspec(), vspec(), vspec(), vspec(),
             pl.BlockSpec(memory_space=pltpu.ANY),   # HBM staging scratch
+            pl.BlockSpec(memory_space=pltpu.ANY),   # Binv (chunk warm seed)
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, m), jnp.int32),   # basis
@@ -701,6 +713,7 @@ def stream_kernel_call(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # status
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # niter
             jax.ShapeDtypeStruct((2, m, m), F32),      # HBM staging
+            jax.ShapeDtypeStruct((m, m), F32),         # Binv out
         ],
         scratch_shapes=[
             pltpu.VMEM((m, m), F32),        # Binv
@@ -741,6 +754,7 @@ def solve_streaming_pallas(
     bland_after: int = 400,
     interpret: bool = False,
     warm_state=None,
+    chunk_iters: int | None = 8192,
 ) -> PallasStreamResult:
     """Solve ONE canonical LP with A streamed from HBM (module docstring).
 
@@ -755,6 +769,15 @@ def solve_streaming_pallas(
     from that state instead of the slack basis — the incremental API's warm
     restart at Netlib scale (SURVEY.md §4.2); the maintained inverse is the
     Newton seed and a refresh precedes any terminal claim.
+
+    `chunk_iters` bounds the pivots PER KERNEL LAUNCH: the solve relaunches
+    warm from the previous launch's DEVICE-resident (basis, vstat, B⁻¹)
+    outputs — no host round-trips — until a terminal status or `max_iter`
+    total pivots.  This keeps each launch's device time to a few seconds:
+    measured on this machine, single executions beyond ~1 minute FAULT the
+    axon TPU worker (the same failure mode that killed the maros-scale XLA
+    graphs; CLAUDE.md gotchas).  None → one unbounded launch (interpreter
+    mode always runs single-launch).
     """
     import numpy as np
 
@@ -807,21 +830,30 @@ def solve_streaming_pallas(
 
     f32 = lambda x: jnp.asarray(np.asarray(x), dtype=F32)
     AT32 = jnp.asarray(np.ascontiguousarray(np.asarray(A, np.float32).T))
+    vec_args = (f32(b)[None, :], f32(c)[None, :],
+                f32(lo)[None, :], f32(hi)[None, :])
+    chunk = max_iter if chunk_iters is None else min(int(chunk_iters), max_iter)
+    total_iter = 0
     with jax.enable_x64(False), jax.default_matmul_precision("highest"):
-        out = stream_kernel_call(
-            AT32, f32(b)[None, :], f32(c)[None, :],
-            f32(lo)[None, :], f32(hi)[None, :],
-            *warm_args,
-            slack0=slack0, tile_n=tile_n, tile_m=int(tile_m),
-            max_iter=max_iter,
-            refactor_period=refactor_period, newton_sweeps=newton_sweeps,
-            feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
-            bland_after=bland_after, interpret=interpret,
-        )
+        while True:
+            out = stream_kernel_call(
+                AT32, *vec_args, *warm_args,
+                slack0=slack0, tile_n=tile_n, tile_m=int(tile_m),
+                max_iter=chunk,
+                refactor_period=refactor_period, newton_sweeps=newton_sweeps,
+                feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
+                bland_after=bland_after, interpret=interpret,
+            )
+            total_iter += int(out[3][0, 0])
+            st = int(out[2][0, 0])
+            if st != int(Status.MAX_ITER) or total_iter >= max_iter:
+                break
+            # relaunch warm from the device-resident state of this chunk
+            warm_args = (out[0], out[1], out[5])
     basis = out[0][0]
     vstat = out[1][0]
     status = out[2][0, 0]
-    niter = out[3][0, 0]
+    niter = jnp.int32(total_iter)
     obj, verified, x = _verify_f64(
         np.asarray(A, np.float64)[None], np.asarray(b, np.float64)[None],
         np.asarray(c, np.float64)[None], np.asarray(lo, np.float64)[None],

@@ -92,6 +92,25 @@ def test_streaming_canonical_layout(seed):
     assert abs(got - obj) <= 1e-9 * (1 + abs(obj))
 
 
+def test_streaming_chunked_launches_match_single():
+    # chunk_iters bounds pivots per kernel launch (device-watchdog guard);
+    # relaunching warm from the previous chunk's (basis, vstat, Binv) must
+    # reach the same certified optimum as one unbounded launch
+    args = make_random_batch(jax.random.PRNGKey(33), 1, 16, 32)
+    A, b, c, lo, hi, _, _ = [np.asarray(x[0]) for x in args]
+    single = solve_streaming_pallas(A, b, c, lo, hi, tile_n=16,
+                                    interpret=True, chunk_iters=None)
+    chunked = solve_streaming_pallas(A, b, c, lo, hi, tile_n=16,
+                                     interpret=True, chunk_iters=8)
+    assert int(single.status) == int(chunked.status) == int(Status.OPTIMAL)
+    assert bool(single.verified) and bool(chunked.verified)
+    np.testing.assert_allclose(float(chunked.obj), float(single.obj),
+                               rtol=1e-9, atol=1e-9)
+    # every chunk boundary costs one extra refresh/recompute, not pivots:
+    # total pivot count stays in the same ballpark
+    assert int(chunked.niter) <= int(single.niter) + 16
+
+
 def test_streaming_warm_restart():
     # solve cold, then warm-restart from the OPTIMAL state: 0 extra pivots,
     # same certified objective (the incremental API's Netlib-scale restart)

@@ -311,6 +311,7 @@ def _state_from_certified_basis(
 def _host_polish_from_basis(
     can: CanonicalLP, basis: np.ndarray, vstat: np.ndarray, opts: SolverOptions,
     niter0: int = 0,
+    accept_any_terminal: bool = False,
 ) -> SimplexState | None:
     """Finish an uncertified near-optimal f32 basis exactly: warm-start the
     exact f64 XLA engine ON THE HOST CPU BACKEND from that basis.
@@ -356,7 +357,11 @@ def _host_polish_from_basis(
             )
     except Exception:  # CPU lowering failure → exact-engine fallback
         return None
-    if int(state.status) != int(Status.OPTIMAL):
+    terminal_ok = (
+        (int(Status.OPTIMAL), int(Status.INFEASIBLE), int(Status.UNBOUNDED))
+        if accept_any_terminal else (int(Status.OPTIMAL),)
+    )
+    if int(state.status) not in terminal_ok:
         return None
     state = state._replace(niter=state.niter + jnp.int32(niter0))
     # re-home the polished state on the default backend for the handle
@@ -618,7 +623,10 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             handle.certify()
             return api.Solution(handle, user_problem)
         # kernel unavailable / handoff failed → f32 XLA path below
-    if _f32_midsize_eligible(can, opts):
+    if _f32_midsize_eligible(can, opts) and can.M <= 2048:
+        # M cap: a single XLA while_loop execution at larger shapes runs long
+        # enough to FAULT this machine's TPU worker (measured at maros scale;
+        # the streaming kernel above chunk-launches for exactly this reason)
         with records.timed() as t:
             state = _try_f32_certified_solve(can, opts)
         if state is not None:
@@ -628,6 +636,23 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             handle.certify()
             return api.Solution(handle, user_problem)
         # f32 pass uncertified or claimed non-OPTIMAL → exact f64 engine below
+    if (jax.default_backend() == "tpu" and opts.dtype == "float64"
+            and can.M > 2048):
+        # same hazard for the f64 graph (plus minutes of emulated-f64
+        # compile): solve on the HOST CPU engine instead — slow but safe
+        with records.timed() as t:
+            state = _host_polish_from_basis(
+                can, np.asarray(can.basis0), np.asarray(can.vstat0), opts,
+                niter0=0, accept_any_terminal=True,
+            )
+        if state is not None:
+            status = int(state.status)
+            _emit_record("cold_solve_host", can, state, status, t.wall_s,
+                         opts)
+            _raise_for_status(status)
+            handle = EngineHandle(can, state, problem, opts)
+            handle.certify()
+            return api.Solution(handle, user_problem)
     args = (
         jnp.asarray(can.A),
         jnp.asarray(can.b),

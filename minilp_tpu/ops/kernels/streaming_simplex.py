@@ -104,10 +104,12 @@ def _stream_kernel(
     if warm:
         (basis0_ref, vstat0_ref, Binv0_ref,
          basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
+         phase_out, infeas_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     else:
         (basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
+         phase_out, infeas_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
@@ -655,12 +657,20 @@ def _stream_kernel(
         jnp.int32(0), jnp.float32(jnp.inf),
         jnp.int32(0 if warm else 1), jnp.int32(0),
     )
-    status, niter, *_rest = lax.while_loop(cond, body, init)
+    status, niter, phase_f, *_rest = lax.while_loop(cond, body, init)
     status = jnp.where(
         status == Status.RUNNING, jnp.int32(Status.MAX_ITER), status
     )
     status_out[...] = jnp.reshape(status, (1, 1))
     niter_out[...] = jnp.reshape(niter, (1, 1))
+    # progress telemetry for the chunk driver: phase + remaining primal
+    # infeasibility (how far phase 1 still has to go)
+    phase_out[...] = jnp.reshape(phase_f, (1, 1))
+    infeas_f = jnp.sum(
+        jnp.maximum(loB[...] - xB[...], ZERO)
+        + jnp.maximum(xB[...] - hiB[...], ZERO)
+    )
+    infeas_out[...] = jnp.reshape(infeas_f, (1, 1))
     # export the maintained inverse: the chunked-launch driver feeds it back
     # as the next launch's warm seed (device-resident, no host round-trip)
     bout = pltpu.make_async_copy(Binv, Binv_out, rsem)
@@ -706,6 +716,7 @@ def stream_kernel_call(
             vspec(), vspec(), vspec(), vspec(),
             pl.BlockSpec(memory_space=pltpu.ANY),   # HBM staging scratch
             pl.BlockSpec(memory_space=pltpu.ANY),   # Binv (chunk warm seed)
+            vspec(), vspec(),                        # phase, infeasibility
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, m), jnp.int32),   # basis
@@ -714,6 +725,8 @@ def stream_kernel_call(
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # niter
             jax.ShapeDtypeStruct((2, m, m), F32),      # HBM staging
             jax.ShapeDtypeStruct((m, m), F32),         # Binv out
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),   # phase
+            jax.ShapeDtypeStruct((1, 1), F32),         # primal infeasibility
         ],
         scratch_shapes=[
             pltpu.VMEM((m, m), F32),        # Binv
@@ -755,6 +768,7 @@ def solve_streaming_pallas(
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | None = 8192,
+    progress: bool = False,
 ) -> PallasStreamResult:
     """Solve ONE canonical LP with A streamed from HBM (module docstring).
 
@@ -846,6 +860,13 @@ def solve_streaming_pallas(
             )
             total_iter += int(out[3][0, 0])
             st = int(out[2][0, 0])
+            if progress:
+                print(
+                    f"[stream chunk] total_iter={total_iter} status={st} "
+                    f"phase={int(out[6][0, 0])} "
+                    f"infeas={float(out[7][0, 0]):.3e}",
+                    flush=True,
+                )
             if st != int(Status.MAX_ITER) or total_iter >= max_iter:
                 break
             # relaunch warm from the device-resident state of this chunk

@@ -403,6 +403,9 @@ def _stream_kernel(
         feasible = jnp.sum((below_pre | above_pre).astype(F32)) == ZERO
         transition = (phase == 1) & feasible
         phase = jnp.where(transition, jnp.int32(2), phase)
+        # phase 2 tracks its own progress metric (see bottom of body)
+        best = jnp.where(transition, jnp.float32(jnp.inf), best)
+        noimp = jnp.where(transition, jnp.int32(0), noimp)
         do_refresh = (
             transition
             | (force == 1)
@@ -500,7 +503,16 @@ def _stream_kernel(
         ratio = jnp.maximum(ratio, ZERO)
         t_rows = jnp.min(ratio)
         tie = ratio <= t_rows * jnp.float32(1.0001) + jnp.float32(1e-6)
-        r = lax.argmax(jnp.where(tie, jnp.abs(w), neg_inf)[0, :], 0, jnp.int32)
+        r_stab = lax.argmax(jnp.where(tie, jnp.abs(w), neg_inf)[0, :], 0,
+                            jnp.int32)
+        # anti-cycling: under a detected stall both the entering AND leaving
+        # choices switch to Bland's rule (lowest index); the megakernel only
+        # guards phase 1, which is fine at its small sizes, but maros-scale
+        # degeneracy needs the full rule in phase 2 as well
+        r_bland = jnp.argmin(
+            jnp.where(tie, basis, jnp.int32(n))[0, :]
+        ).astype(jnp.int32)
+        r = jnp.where(bland, r_bland, r_stab)
         lo_q = sel_col(lo, q)
         hi_q = sel_col(hi, q)
         rng_q = hi_q - lo_q
@@ -641,11 +653,18 @@ def _stream_kernel(
         fresh = jnp.where(applied, jnp.int32(0), fresh_now)
         niter = niter + jnp.where(applied, jnp.int32(1), jnp.int32(0))
 
-        improved = infeas < best - jnp.float32(1e-6)
-        noimp = jnp.where(
-            p1, jnp.where(improved, jnp.int32(0), noimp + 1), jnp.int32(0)
+        # stall tracking in BOTH phases: phase 1 watches the infeasibility
+        # sum, phase 2 a cheap objective proxy (cB·xB over the post-update
+        # basic values — exact enough to detect cycling, which repeats
+        # states and therefore repeats the proxy)
+        objp = jnp.sum(cB[...] * xB[...])
+        metric = jnp.where(p1, infeas, objp)
+        eps_m = jnp.float32(1e-6) * (
+            ONE + jnp.where(jnp.isfinite(best), jnp.abs(best), ZERO)
         )
-        best = jnp.where(p1, jnp.minimum(best, infeas), best)
+        improved = metric < best - eps_m
+        noimp = jnp.where(improved, jnp.int32(0), noimp + 1)
+        best = jnp.minimum(best, metric)
 
         status = jnp.where(diverged, jnp.int32(Status.NUMERICAL), status)
         return (status, niter, phase, noimp, best, fresh, force)

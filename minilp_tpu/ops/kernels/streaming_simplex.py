@@ -867,6 +867,9 @@ def solve_streaming_pallas(
                 f32(lo)[None, :], f32(hi)[None, :])
     chunk = max_iter if chunk_iters is None else min(int(chunk_iters), max_iter)
     total_iter = 0
+    surrender = False
+    p2_stalled = 0
+    best_infeas = float("inf")
     with jax.enable_x64(False), jax.default_matmul_precision("highest"):
         while True:
             out = stream_kernel_call(
@@ -879,20 +882,41 @@ def solve_streaming_pallas(
             )
             total_iter += int(out[3][0, 0])
             st = int(out[2][0, 0])
+            ph = int(out[6][0, 0])
+            inf_now = float(out[7][0, 0])
             if progress:
                 print(
                     f"[stream chunk] total_iter={total_iter} status={st} "
-                    f"phase={int(out[6][0, 0])} "
-                    f"infeas={float(out[7][0, 0]):.3e}",
+                    f"phase={ph} infeas={inf_now:.3e}",
                     flush=True,
                 )
             if st != int(Status.MAX_ITER) or total_iter >= max_iter:
                 break
+            # f32 precision surrender: once phase 2 is reached, residual
+            # primal infeasibility should sit at f32-roundoff level; if it
+            # stays orders of magnitude above feas_tol without improving
+            # across chunks, the instance's conditioning exceeds what f32
+            # iteration can resolve (measured at maros scale: phase 2
+            # wanders, re-fixing drift-induced violations forever).  Stop
+            # and report NUMERICAL — the driver warm-starts the exact host
+            # engine from this (near-optimal) basis.
+            if ph == 2 and inf_now > 1e3 * feas_tol:
+                if inf_now >= 0.5 * best_infeas:
+                    p2_stalled += 1
+                else:
+                    p2_stalled = 0
+                best_infeas = min(best_infeas, inf_now)
+                if p2_stalled >= 2:
+                    surrender = True
+                    break
+            else:
+                p2_stalled = 0
             # relaunch warm from the device-resident state of this chunk
             warm_args = (out[0], out[1], out[5])
     basis = out[0][0]
     vstat = out[1][0]
-    status = out[2][0, 0]
+    status = (jnp.int32(Status.NUMERICAL) if surrender
+              else out[2][0, 0])
     niter = jnp.int32(total_iter)
     obj, verified, x = _verify_f64(
         np.asarray(A, np.float64)[None], np.asarray(b, np.float64)[None],

@@ -287,38 +287,62 @@ def _stream_kernel(
         # HBM slices must be 8-row (sublane) aligned, so each basic column's
         # row is fetched as the ALIGNED 8-row block containing it and the
         # wanted row is mask-selected in VMEM; rows are assembled 8 at a time
-        # and put back with one aligned block DMA.
+        # and put back with one aligned block DMA.  DMAs are double-buffered
+        # (fetch j+1 overlaps the select of j; the block put overlaps the
+        # next block's fetches) — with one serialized get+put per row this
+        # gather dominated the per-iteration cost at maros scale.
+        n_blocks = m // 8
+
+        def get_dma(slot, i):
+            idx = basis_smem[i]
+            gb = (idx // 8) * 8              # provably 8-aligned offset
+            return pltpu.make_async_copy(
+                AT_hbm.at[pl.ds(gb, 8), :],
+                tilebuf.at[slot, pl.ds(0, 8), :],
+                sems.at[slot],
+            )
+
+        def put_dma(k):
+            return pltpu.make_async_copy(
+                tiltmp.at[pl.ds(0, 8), :],
+                scratch_hbm.at[0, pl.ds(k * 8, 8), :],
+                rsem,
+            )
+
+        get_dma(0, 0).start()
+
         def gblock(k, _):
             def grow(j, acc):
-                idx = basis_smem[k * 8 + j]
-                gb = (idx // 8) * 8          # provably 8-aligned offset
-                g = pltpu.make_async_copy(
-                    AT_hbm.at[pl.ds(gb, 8), :],
-                    tilebuf.at[0, pl.ds(0, 8), :],
-                    rsem,
-                )
-                g.start()
-                g.wait()
+                i = k * 8 + j
+                slot = i % 2
+
+                @pl.when(i + 1 < m)
+                def _():
+                    get_dma((i + 1) % 2, i + 1).start()
+
+                get_dma(slot, i).wait()
+                idx = basis_smem[i]
+                gb = (idx // 8) * 8
                 rows8 = lax.broadcasted_iota(jnp.int32, (8, m), 0)
                 row = jnp.sum(
                     jnp.where(rows8 == idx - gb,
-                              tilebuf[0, pl.ds(0, 8), :], ZERO),
+                              tilebuf[slot, pl.ds(0, 8), :], ZERO),
                     axis=0, keepdims=True,
                 )
                 return jnp.where(rows8 == j, row, acc)
 
             blk = lax.fori_loop(0, 8, grow, jnp.zeros((8, m), F32))
+
+            @pl.when(k > 0)
+            def _():
+                put_dma(k - 1).wait()   # tiltmp free again
+
             tiltmp[pl.ds(0, 8), :] = blk
-            put = pltpu.make_async_copy(
-                tiltmp.at[pl.ds(0, 8), :],
-                scratch_hbm.at[0, pl.ds(k * 8, 8), :],
-                rsem,
-            )
-            put.start()
-            put.wait()
+            put_dma(k).start()
             return 0
 
-        lax.fori_loop(0, m // 8, gblock, 0)
+        lax.fori_loop(0, n_blocks, gblock, 0)
+        put_dma(n_blocks - 1).wait()
 
         # ---- H = X·B row-tiles → slot 1 --------------------------------------
         def hb_dma(slot, s):
@@ -509,9 +533,11 @@ def _stream_kernel(
         # choices switch to Bland's rule (lowest index); the megakernel only
         # guards phase 1, which is fine at its small sizes, but maros-scale
         # degeneracy needs the full rule in phase 2 as well
-        r_bland = jnp.argmin(
-            jnp.where(tie, basis, jnp.int32(n))[0, :]
-        ).astype(jnp.int32)
+        # (Mosaic argmin lowers for f32 only; indices < 2^24 are f32-exact)
+        r_bland = lax.argmin(
+            jnp.where(tie, basis, jnp.int32(n)).astype(F32)[0, :],
+            0, jnp.int32,
+        )
         r = jnp.where(bland, r_bland, r_stab)
         lo_q = sel_col(lo, q)
         hi_q = sel_col(hi, q)

@@ -411,13 +411,13 @@ def _stream_kernel(
 
     recompute_vectors()
 
-    # carry: (status, niter, phase, noimp, best, fresh, force)
+    # carry: (status, niter, phase, noimp, fresh, force)
     def cond(carry):
-        status, niter, phase, noimp, best, fresh, force = carry
+        status, niter, phase, noimp, fresh, force = carry
         return (status == Status.RUNNING) & (niter < max_iter)
 
     def body(carry):
-        status, niter, phase, noimp, best, fresh, force = carry
+        status, niter, phase, noimp, fresh, force = carry
 
         xB_pre = xB[...]
         loBv = loB[...]
@@ -427,8 +427,6 @@ def _stream_kernel(
         feasible = jnp.sum((below_pre | above_pre).astype(F32)) == ZERO
         transition = (phase == 1) & feasible
         phase = jnp.where(transition, jnp.int32(2), phase)
-        # phase 2 tracks its own progress metric (see bottom of body)
-        best = jnp.where(transition, jnp.float32(jnp.inf), best)
         noimp = jnp.where(transition, jnp.int32(0), noimp)
         do_refresh = (
             transition
@@ -679,28 +677,25 @@ def _stream_kernel(
         fresh = jnp.where(applied, jnp.int32(0), fresh_now)
         niter = niter + jnp.where(applied, jnp.int32(1), jnp.int32(0))
 
-        # stall tracking in BOTH phases: phase 1 watches the infeasibility
-        # sum, phase 2 a cheap objective proxy (cB·xB over the post-update
-        # basic values — exact enough to detect cycling, which repeats
-        # states and therefore repeats the proxy)
-        objp = jnp.sum(cB[...] * xB[...])
-        metric = jnp.where(p1, infeas, objp)
-        eps_m = jnp.float32(1e-6) * (
-            ONE + jnp.where(jnp.isfinite(best), jnp.abs(best), ZERO)
+        # stall tracking in BOTH phases by DEGENERATE-step counting: cycling
+        # (the thing Bland's rule exists for) consists of zero-length steps,
+        # so count consecutive pivots with t ≈ 0 and switch to Bland after
+        # `bland_after` of them.  (An objective-proxy detector was tried and
+        # misfires: late-solve progress per pivot is genuinely tiny, and the
+        # false Bland switches doubled the 25fv47 pivot count.)
+        degenerate = applied & (t <= jnp.float32(1e-9))
+        noimp = jnp.where(
+            applied, jnp.where(degenerate, noimp + 1, jnp.int32(0)), noimp
         )
-        improved = metric < best - eps_m
-        noimp = jnp.where(improved, jnp.int32(0), noimp + 1)
-        best = jnp.minimum(best, metric)
 
         status = jnp.where(diverged, jnp.int32(Status.NUMERICAL), status)
-        return (status, niter, phase, noimp, best, fresh, force)
+        return (status, niter, phase, noimp, fresh, force)
 
     # warm restarts distrust the handed-in (f32-cast) inverse: fresh=0 forces
     # a Newton refresh before any terminal claim is believed
     init = (
         jnp.int32(Status.RUNNING), jnp.int32(0), jnp.int32(1),
-        jnp.int32(0), jnp.float32(jnp.inf),
-        jnp.int32(0 if warm else 1), jnp.int32(0),
+        jnp.int32(0), jnp.int32(0 if warm else 1), jnp.int32(0),
     )
     status, niter, phase_f, *_rest = lax.while_loop(cond, body, init)
     status = jnp.where(

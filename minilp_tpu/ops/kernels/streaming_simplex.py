@@ -927,7 +927,11 @@ def solve_streaming_pallas(
                 else:
                     p2_stalled = 0
                 best_infeas = min(best_infeas, inf_now)
-                if p2_stalled >= 2:
+                # patience matters: the maros trace shows infeasibility
+                # oscillating for ~10 chunks before the claim lands within
+                # 1e-4 of the oracle — surrendering after 2 stalled chunks
+                # handed the host a basis that cost an hour of exact pivots
+                if p2_stalled >= 6:
                     surrender = True
                     break
             else:

@@ -26,6 +26,12 @@ from .state import SimplexState
 
 _solve_jit = jax.jit(solve_canonical, static_argnames=("opts",))
 
+#: padded-row threshold above which host-side exact linear algebra goes
+#: through the sparse LU (engine/hostlp.py) instead of dense LAPACK —
+#: Netlib-scale canonical forms are ≲1% dense, so sparse wins decisively
+#: there while small/dense forms keep the (faster for them) dense path.
+_SPARSE_HOST_M = 1024
+
 
 def _np_dtype(opts: SolverOptions):
     return np.float64 if opts.dtype == "float64" else np.float32
@@ -99,17 +105,29 @@ class EngineHandle:
         lo = can.lo.astype(np.float64)
         hi = can.hi.astype(np.float64)
         c = can.c.astype(np.float64)
-        Bmat = A[:, basis]
         xN = np.where(vstat == int(VarStat.AT_LOWER), lo, 0.0)
         xN = np.where(vstat == int(VarStat.AT_UPPER), hi, xN)
         xN = np.where(vstat == int(VarStat.FIXED), lo, xN)
         xN = np.where(vstat == int(VarStat.BASIC), 0.0, xN)
-        try:
-            xB = np.linalg.solve(Bmat, can.b.astype(np.float64) - A @ xN)
-            y = np.linalg.solve(Bmat.T, c[basis])
-        except np.linalg.LinAlgError:
-            self.certified = False
-            return False
+        if can.M >= _SPARSE_HOST_M:
+            # Netlib scale: one sparse LU (hostlp) instead of two dense
+            # O(m³) solves — the reference's `src/lu.rs` role at certify time
+            from . import hostlp
+
+            lu = hostlp.factorize_basis(A, basis)
+            if lu is None:
+                self.certified = False
+                return False
+            xB = lu.lu.solve(can.b.astype(np.float64) - A @ xN)
+            y = lu.lu.solve(c[basis], trans="T")
+        else:
+            Bmat = A[:, basis]
+            try:
+                xB = np.linalg.solve(Bmat, can.b.astype(np.float64) - A @ xN)
+                y = np.linalg.solve(Bmat.T, c[basis])
+            except np.linalg.LinAlgError:
+                self.certified = False
+                return False
         d = c - y @ A
         loB, hiB = lo[basis], hi[basis]
         pfeas = bool(((xB >= loB - tol) & (xB <= hiB + tol)).all())
@@ -278,11 +296,22 @@ def _state_from_certified_basis(
     consistent with the basis; everything follows from the combinatorial
     state.  Returns None on a singular basis (caller falls back)."""
     A = can.A.astype(np.float64)
-    Bmat = A[:, basis]
-    try:
-        Binv = np.linalg.inv(Bmat)
-    except np.linalg.LinAlgError:
-        return None
+    if can.M >= _SPARSE_HOST_M:
+        # sparse LU + M triangular solve pairs beats dense O(m³) inversion
+        # at Netlib sparsity (the SimplexState's warm-start contract still
+        # wants the dense inverse — it is the device kernels' working form)
+        from . import hostlp
+
+        lu = hostlp.factorize_basis(A, basis)
+        if lu is None:
+            return None
+        Binv = lu.lu.solve(np.eye(can.M))
+    else:
+        Bmat = A[:, basis]
+        try:
+            Binv = np.linalg.inv(Bmat)
+        except np.linalg.LinAlgError:
+            return None
     from ..canonical import nonbasic_values as np_nonbasic
 
     xN = np_nonbasic(vstat, can.lo, can.hi)
@@ -335,6 +364,28 @@ def _host_polish_from_basis(
 
     if opts.dtype != "float64":
         return None
+    terminal_ok = (
+        (int(Status.OPTIMAL), int(Status.INFEASIBLE), int(Status.UNBOUNDED))
+        if accept_any_terminal else (int(Status.OPTIMAL),)
+    )
+    # Sparse host engine first (engine/hostlp.py: splu + eta file — the
+    # reference's `src/lu.rs` linear algebra at the polish seam).  At maros
+    # scale this is ~ms per exact pivot vs the dense engine's ~100 ms; the
+    # dense XLA CPU path below remains the fallback for singular/odd cases.
+    from . import hostlp
+
+    res = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, basis, vstat, opts=opts,
+    )
+    if res is not None and int(res.status) in terminal_ok:
+        state = _state_from_certified_basis(
+            can, res.basis, res.vstat, niter0 + res.niter, opts
+        )
+        if state is not None:
+            if int(res.status) != int(Status.OPTIMAL):
+                state = state._replace(status=jnp.int32(int(res.status)))
+            return state
+
     Bmat = can.A[:, basis].astype(np.float64)
     try:
         Binv0 = np.linalg.inv(Bmat)
@@ -357,10 +408,6 @@ def _host_polish_from_basis(
             )
     except Exception:  # CPU lowering failure → exact-engine fallback
         return None
-    terminal_ok = (
-        (int(Status.OPTIMAL), int(Status.INFEASIBLE), int(Status.UNBOUNDED))
-        if accept_any_terminal else (int(Status.OPTIMAL),)
-    )
     if int(state.status) not in terminal_ok:
         return None
     state = state._replace(niter=state.niter + jnp.int32(niter0))
@@ -469,12 +516,16 @@ def _try_streaming_solve(
         lo = np.concatenate([can.lo[: nv + M], np.zeros(extra, can.lo.dtype)])
         hi = np.concatenate([can.hi[: nv + M], np.zeros(extra, can.hi.dtype)])
         A = A2
+    f32 = _f32_opts(opts)  # user tolerances, loosened to f32 resolution
     try:
         res = solve_streaming_pallas(
             A, b, c, lo, hi,
             slack0=can.nv,
             max_iter=opts.effective_max_iter(can.M, can.N),
             refactor_period=max(opts.refactor_period, 32),
+            feas_tol=f32.feas_tol, opt_tol=f32.opt_tol,
+            pivot_tol=f32.pivot_tol, bland_after=max(opts.bland_after, 400),
+            devex_reset=opts.devex_reset,
             interpret=interpret,
         )
     except Exception:  # lowering/backend failure → XLA engine fallback
@@ -623,10 +674,12 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             handle.certify()
             return api.Solution(handle, user_problem)
         # kernel unavailable / handoff failed → f32 XLA path below
-    if _f32_midsize_eligible(can, opts) and can.M <= 2048:
-        # M cap: a single XLA while_loop execution at larger shapes runs long
-        # enough to FAULT this machine's TPU worker (measured at maros scale;
-        # the streaming kernel above chunk-launches for exactly this reason)
+    if _f32_midsize_eligible(can, opts) and (
+            can.M <= 2048 or opts.f32_midsize == "always"):
+        # M cap (auto only — an explicit "always" is honored at any size): a
+        # single XLA while_loop execution at larger shapes runs long enough
+        # to FAULT this machine's TPU worker (measured at maros scale; the
+        # streaming kernel above chunk-launches for exactly this reason)
         with records.timed() as t:
             state = _try_f32_certified_solve(can, opts)
         if state is not None:
@@ -636,10 +689,13 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             handle.certify()
             return api.Solution(handle, user_problem)
         # f32 pass uncertified or claimed non-OPTIMAL → exact f64 engine below
-    if (jax.default_backend() == "tpu" and opts.dtype == "float64"
-            and can.M > 2048):
-        # same hazard for the f64 graph (plus minutes of emulated-f64
-        # compile): solve on the HOST CPU engine instead — slow but safe
+    if opts.dtype == "float64" and can.M > 2048:
+        # Above the streaming kernel's envelope (or when it declined): the
+        # host sparse engine (hostlp splu; dense XLA CPU as fallback).  On
+        # TPU this also avoids the emulated-f64 graph (minutes of compile,
+        # worker faults at some shapes); on CPU the dense f64 XLA engine is
+        # O(m·n) dense per pivot — measured >50 min at maros scale, vs
+        # minutes for sparse FTRAN/BTRAN.
         with records.timed() as t:
             state = _host_polish_from_basis(
                 can, np.asarray(can.basis0), np.asarray(can.vstat0), opts,

@@ -101,6 +101,57 @@ def _exact_host_inverse(can, basis) -> jnp.ndarray:
     return jnp.asarray(np.linalg.inv(B))
 
 
+def _try_host_resolve(handle, event: str) -> bool:
+    """Warm re-solve on the HOST sparse engine (engine/hostlp.py) — the
+    default incremental path.
+
+    After an edit the warm basis is a handful of pivots from optimal;
+    re-optimizing is latency-bound, not throughput-bound, so the exact-f64
+    sparse simplex on the host (splu + eta file, ~ms per pivot) beats any
+    device round-trip — the reference's `Solution::add_constraint` re-solve
+    cost is milliseconds for the same reason [API].  Exact f64 terminal
+    claims (INFEASIBLE/UNBOUNDED included) are trusted directly; None or a
+    non-terminal outcome falls through to the device/XLA paths.
+    """
+    can = handle.can
+    opts = handle.opts
+    if opts.dtype != "float64":
+        return False
+    from . import hostlp
+
+    with records.timed() as t:
+        res = hostlp.solve_host_sparse(
+            can.A, can.b, can.c, can.lo, can.hi,
+            np.asarray(handle.state.basis), np.asarray(handle.state.vstat),
+            opts=opts,
+        )
+        if res is None or int(res.status) not in (
+            int(Status.OPTIMAL), int(Status.INFEASIBLE), int(Status.UNBOUNDED)
+        ):
+            return False
+        state = (
+            _driver._state_from_certified_basis(
+                can, res.basis, res.vstat, res.niter, handle.opts
+            )
+            if int(res.status) == int(Status.OPTIMAL) else None
+        )
+        if int(res.status) == int(Status.OPTIMAL) and state is None:
+            return False
+    if records.enabled():
+        import types
+
+        shim = types.SimpleNamespace(niter=res.niter, obj=res.obj)
+        _driver._emit_record(event + "_host", can, shim, int(res.status),
+                             t.wall_s, opts)
+    _driver._raise_for_status(int(res.status))
+    handle.state = state
+    handle._x_cache = None
+    handle._exact_obj = None
+    handle.certified = None
+    handle.certify()
+    return True
+
+
 def _try_megakernel_resolve(handle, event: str) -> bool:
     """Warm re-solve through the Pallas megakernel (TPU fast path).
 
@@ -178,10 +229,15 @@ def _try_streaming_resolve(handle, event: str) -> bool:
     interpret = jax.default_backend() != "tpu"
     with records.timed() as t:
         try:
+            f32 = _driver._f32_opts(opts)
             res = solve_streaming_pallas(
                 A, b, c, lo, hi, slack0=nv,
                 max_iter=opts.effective_max_iter(can.M, can.N),
                 refactor_period=max(opts.refactor_period, 32),
+                feas_tol=f32.feas_tol, opt_tol=f32.opt_tol,
+                pivot_tol=f32.pivot_tol,
+                bland_after=max(opts.bland_after, 400),
+                devex_reset=opts.devex_reset,
                 interpret=interpret,
                 warm_state=(basis0, vstat0, Binv0),
             )
@@ -216,6 +272,8 @@ def _try_streaming_resolve(handle, event: str) -> bool:
 
 
 def _run_dual_resolve(handle) -> None:
+    if _try_host_resolve(handle, "dual_resolve"):
+        return
     if _try_megakernel_resolve(handle, "dual_resolve"):
         return
     if _try_streaming_resolve(handle, "dual_resolve"):
@@ -245,6 +303,8 @@ def _run_dual_resolve(handle) -> None:
 
 
 def _run_primal_resolve(handle) -> None:
+    if _try_host_resolve(handle, "primal_resolve"):
+        return
     if _try_megakernel_resolve(handle, "primal_resolve"):
         return
     if _try_streaming_resolve(handle, "primal_resolve"):
@@ -434,8 +494,12 @@ def add_gomory_cut(handle, idx: int):
     # Un-shift into original variables: Σ c_j x_j ≥ rhs.
     coeffs = np.where(at_upper, -gamma, gamma)
     lo_fin = np.where(np.isfinite(can.lo[:n_active]), can.lo[:n_active], 0.0)
+    # hi is finite wherever at_upper holds; masking the off-branch ±inf keeps
+    # the eager `-gamma * hi` from manufacturing 0·inf NaNs (discarded by the
+    # where, but they would trip a warnings-as-errors CI run).
+    hi_fin = np.where(np.isfinite(can.hi[:n_active]), can.hi[:n_active], 0.0)
     rhs = 1.0 + float(
-        np.sum(np.where(at_upper, -gamma * can.hi[:n_active], gamma * lo_fin))
+        np.sum(np.where(at_upper, -gamma * hi_fin, gamma * lo_fin))
     )
 
     # Substitute slacks:  s_i = b_i - Σ_k A[i,k] x_k (structural support only).

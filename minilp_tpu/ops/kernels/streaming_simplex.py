@@ -83,6 +83,7 @@ def _stream_kernel(
     m: int, n: int, slack0: int, tile_n: int, tile_m: int, max_iter: int,
     refactor_period: int, newton_sweeps: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
+    devex_floor: float, devex_reset: float,
     warm: bool = False,
 ):
     """Single LP.  See module docstring for the memory plan.
@@ -104,12 +105,12 @@ def _stream_kernel(
     if warm:
         (basis0_ref, vstat0_ref, Binv0_ref,
          basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
-         phase_out, infeas_out,
+         phase_out, infeas_out, obj_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     else:
         (basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
-         phase_out, infeas_out,
+         phase_out, infeas_out, obj_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
@@ -354,10 +355,15 @@ def _stream_kernel(
 
         def h_rowtile(t, _):
             xt = Binv[pl.ds(t * tb, tb), :]              # X[t] (tb, m)
+            hb_dma(0, 0).start()
 
             def sbody(s, _):
                 slot = s % 2
-                hb_dma(slot, s).start()
+
+                @pl.when(s + 1 < m_tiles)
+                def _():
+                    hb_dma((s + 1) % 2, s + 1).start()   # overlap next fetch
+
                 hb_dma(slot, s).wait()
                 bt = tilebuf[slot, pl.ds(0, tb), :]      # Bᵀ rows s-block
                 blk = jnp.dot(xt, bt.T, preferred_element_type=F32)
@@ -377,15 +383,28 @@ def _stream_kernel(
         lax.fori_loop(0, m_tiles, h_rowtile, 0)
 
         # ---- X' = 2X − H·X row-tiles → slot 0, with ‖I − H‖∞ telltale --------
-        def xp_rowtile(t, okmax):
-            dma = pltpu.make_async_copy(
+        # H-tile fetches are double-buffered across t (fetch t+1 overlaps the
+        # (tb, m)×(m, m) MXU product of t); the X' put must complete before
+        # tiltmp is rewritten, so it stays serialized — it overlaps the next
+        # fetch's latency anyway.
+        def hget_dma(slot, t):
+            return pltpu.make_async_copy(
                 scratch_hbm.at[1, pl.ds(t * tb, tb), :],
-                tilebuf.at[0, pl.ds(0, tb), :],
-                sems.at[0],
+                tilebuf.at[slot, pl.ds(0, tb), :],
+                sems.at[slot],
             )
-            dma.start()
-            dma.wait()
-            ht = tilebuf[0, pl.ds(0, tb), :]             # H[t]
+
+        hget_dma(0, 0).start()
+
+        def xp_rowtile(t, okmax):
+            slot = t % 2
+
+            @pl.when(t + 1 < m_tiles)
+            def _():
+                hget_dma((t + 1) % 2, t + 1).start()
+
+            hget_dma(slot, t).wait()
+            ht = tilebuf[slot, pl.ds(0, tb), :]          # H[t]
             xt = Binv[pl.ds(t * tb, tb), :]
             xpt = 2.0 * xt - jnp.dot(ht, Binv[...],
                                      preferred_element_type=F32)
@@ -481,7 +500,7 @@ def _stream_kernel(
         elig = (can_up & (dcur < -opt_tol)) | (can_dn & (dcur > opt_tol))
         neg_inf = jnp.float32(NEG_INF)
         gam = jnp.where(p1, jnp.ones_like(wts[...]), wts[...])
-        score = jnp.where(elig, dcur * dcur / jnp.maximum(gam, ONE * 1e-3),
+        score = jnp.where(elig, dcur * dcur / jnp.maximum(gam, ONE * devex_floor),
                           neg_inf)
         q_d = lax.argmax(score[0, :], 0, jnp.int32)
         q_b = jnp.min(jnp.where(elig, col_ids, jnp.int32(n)))
@@ -492,8 +511,13 @@ def _stream_kernel(
 
         # ---- FTRAN: aligned 8-row DMA + mask-select + VMEM matvec ------------
         # (HBM sublane slices must be 8-aligned; fetch the block containing
-        # row q of Aᵀ and pick the row in VMEM)
-        qb = (q // 8) * 8
+        # row q of Aᵀ and pick the row in VMEM).  Under Bland with no
+        # eligible column q = n, and the DMA is issued unconditionally —
+        # clamp the FETCH index (an OOB HBM DMA can fault the TPU worker);
+        # q itself keeps the sentinel for the bookkeeping below (unused
+        # when ~found).
+        q_safe = jnp.where(found, jnp.minimum(q, jnp.int32(n - 1)), jnp.int32(0))
+        qb = (q_safe // 8) * 8
         cdma = pltpu.make_async_copy(
             AT_hbm.at[pl.ds(qb, 8), :],
             tilebuf.at[1, pl.ds(0, 8), :],
@@ -503,7 +527,7 @@ def _stream_kernel(
         cdma.wait()
         rows8 = lax.broadcasted_iota(jnp.int32, (8, m), 0)
         Acol = jnp.sum(
-            jnp.where(rows8 == q - qb, tilebuf[1, pl.ds(0, 8), :], ZERO),
+            jnp.where(rows8 == q_safe - qb, tilebuf[1, pl.ds(0, 8), :], ZERO),
             axis=0, keepdims=True,
         )                                  # (1, m)
         w = (Binv[...] @ Acol.T).T         # (1, m)
@@ -620,7 +644,8 @@ def _stream_kernel(
                 w_t = jnp.where(cid == lv,
                                 jnp.maximum(gq / (wr_safe * wr_safe), ONE), w_t)
                 w_t = jnp.where(cid == q, ONE, w_t)
-                w_t = jnp.where(gq > jnp.float32(1e6), jnp.ones_like(w_t), w_t)
+                w_t = jnp.where(gq > jnp.float32(devex_reset),
+                                jnp.ones_like(w_t), w_t)
                 v_t = vstat_out[sl]          # post-pivot statuses
                 d_t = jnp.where(v_t == VarStat.BASIC, ZERO, d_t)
                 d[sl] = d_t
@@ -711,6 +736,16 @@ def _stream_kernel(
         + jnp.maximum(xB[...] - hiB[...], ZERO)
     )
     infeas_out[...] = jnp.reshape(infeas_f, (1, 1))
+    # claimed objective c·x (f32 estimate) — the chunk driver's surrender
+    # logic keys on JOINT infeasibility + objective stagnation, so a chunk
+    # that is still improving the objective is never surrendered on
+    v_f = vstat_out[...]
+    xn_f = jnp.where(v_f == VarStat.AT_LOWER, lo, ZERO)
+    xn_f = jnp.where(v_f == VarStat.AT_UPPER, hi, xn_f)
+    xn_f = jnp.where(v_f == VarStat.FIXED, lo, xn_f)
+    xn_f = jnp.where(v_f == VarStat.BASIC, ZERO, xn_f)
+    obj_f = jnp.sum(cB[...] * xB[...]) + jnp.sum(c * xn_f)
+    obj_out[...] = jnp.reshape(obj_f, (1, 1))
     # export the maintained inverse: the chunked-launch driver feeds it back
     # as the next launch's warm seed (device-resident, no host round-trip)
     bout = pltpu.make_async_copy(Binv, Binv_out, rsem)
@@ -723,13 +758,14 @@ def _stream_kernel(
     static_argnames=(
         "slack0", "tile_n", "tile_m", "max_iter", "refactor_period",
         "newton_sweeps", "feas_tol", "opt_tol", "pivot_tol", "bland_after",
-        "interpret",
+        "devex_floor", "devex_reset", "interpret",
     ),
 )
 def stream_kernel_call(
     AT32, b32, c32, lo32, hi32, *warm_args,
     slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
-    feas_tol, opt_tol, pivot_tol, bland_after, interpret,
+    feas_tol, opt_tol, pivot_tol, bland_after, devex_floor, devex_reset,
+    interpret,
 ):
     n, m = AT32.shape
     warm = bool(warm_args)
@@ -738,7 +774,8 @@ def stream_kernel_call(
         tile_m=tile_m,
         max_iter=max_iter, refactor_period=refactor_period,
         newton_sweeps=newton_sweeps, feas_tol=feas_tol, opt_tol=opt_tol,
-        pivot_tol=pivot_tol, bland_after=bland_after, warm=warm,
+        pivot_tol=pivot_tol, bland_after=bland_after,
+        devex_floor=devex_floor, devex_reset=devex_reset, warm=warm,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     warm_specs = (
@@ -756,7 +793,7 @@ def stream_kernel_call(
             vspec(), vspec(), vspec(), vspec(),
             pl.BlockSpec(memory_space=pltpu.ANY),   # HBM staging scratch
             pl.BlockSpec(memory_space=pltpu.ANY),   # Binv (chunk warm seed)
-            vspec(), vspec(),                        # phase, infeasibility
+            vspec(), vspec(), vspec(),               # phase, infeas, obj
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, m), jnp.int32),   # basis
@@ -767,6 +804,7 @@ def stream_kernel_call(
             jax.ShapeDtypeStruct((m, m), F32),         # Binv out
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # phase
             jax.ShapeDtypeStruct((1, 1), F32),         # primal infeasibility
+            jax.ShapeDtypeStruct((1, 1), F32),         # claimed objective
         ],
         scratch_shapes=[
             pltpu.VMEM((m, m), F32),        # Binv
@@ -805,6 +843,8 @@ def solve_streaming_pallas(
     opt_tol: float = 1e-6,
     pivot_tol: float = 1e-6,
     bland_after: int = 400,
+    devex_floor: float = 1e-12,
+    devex_reset: float = 1e8,
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | None = 8192,
@@ -830,8 +870,9 @@ def solve_streaming_pallas(
     total pivots.  This keeps each launch's device time to a few seconds:
     measured on this machine, single executions beyond ~1 minute FAULT the
     axon TPU worker (the same failure mode that killed the maros-scale XLA
-    graphs; CLAUDE.md gotchas).  None → one unbounded launch (interpreter
-    mode always runs single-launch).
+    graphs; CLAUDE.md gotchas).  None → one unbounded launch.  Chunking
+    applies in interpreter mode too (the chunked-vs-single gate relies on
+    it).
     """
     import numpy as np
 
@@ -891,6 +932,7 @@ def solve_streaming_pallas(
     surrender = False
     p2_stalled = 0
     best_infeas = float("inf")
+    last_obj = None
     with jax.enable_x64(False), jax.default_matmul_precision("highest"):
         while True:
             out = stream_kernel_call(
@@ -899,16 +941,18 @@ def solve_streaming_pallas(
                 max_iter=chunk,
                 refactor_period=refactor_period, newton_sweeps=newton_sweeps,
                 feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
-                bland_after=bland_after, interpret=interpret,
+                bland_after=bland_after, devex_floor=devex_floor,
+                devex_reset=devex_reset, interpret=interpret,
             )
             total_iter += int(out[3][0, 0])
             st = int(out[2][0, 0])
             ph = int(out[6][0, 0])
             inf_now = float(out[7][0, 0])
+            obj_now = float(out[8][0, 0])
             if progress:
                 print(
                     f"[stream chunk] total_iter={total_iter} status={st} "
-                    f"phase={ph} infeas={inf_now:.3e}",
+                    f"phase={ph} infeas={inf_now:.3e} obj={obj_now:.6e}",
                     flush=True,
                 )
             if st != int(Status.MAX_ITER) or total_iter >= max_iter:
@@ -920,22 +964,27 @@ def solve_streaming_pallas(
             # iteration can resolve (measured at maros scale: phase 2
             # wanders, re-fixing drift-induced violations forever).  Stop
             # and report NUMERICAL — the driver warm-starts the exact host
-            # engine from this (near-optimal) basis.
+            # engine from this (near-optimal) basis.  A chunk only counts
+            # as stalled when BOTH the infeasibility has stopped halving
+            # AND the claimed objective has stopped moving (round-2
+            # post-mortem: a pure infeasibility count surrendered while the
+            # objective was still in motion, handing the host a basis an
+            # hour of exact pivots from optimal).
             if ph == 2 and inf_now > 1e3 * feas_tol:
-                if inf_now >= 0.5 * best_infeas:
+                obj_moving = last_obj is None or (
+                    abs(obj_now - last_obj) > 1e-6 * (1.0 + abs(obj_now))
+                )
+                if inf_now >= 0.5 * best_infeas and not obj_moving:
                     p2_stalled += 1
                 else:
                     p2_stalled = 0
                 best_infeas = min(best_infeas, inf_now)
-                # patience matters: the maros trace shows infeasibility
-                # oscillating for ~10 chunks before the claim lands within
-                # 1e-4 of the oracle — surrendering after 2 stalled chunks
-                # handed the host a basis that cost an hour of exact pivots
-                if p2_stalled >= 6:
+                if p2_stalled >= 4:
                     surrender = True
                     break
             else:
                 p2_stalled = 0
+            last_obj = obj_now
             # relaunch warm from the device-resident state of this chunk
             warm_args = (out[0], out[1], out[5])
     basis = out[0][0]

@@ -83,7 +83,7 @@ def _stream_kernel(
     m: int, n: int, slack0: int, tile_n: int, tile_m: int, max_iter: int,
     refactor_period: int, newton_sweeps: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
-    devex_floor: float, devex_reset: float,
+    devex_floor: float, devex_reset: float, minor_k: int,
     warm: bool = False,
 ):
     """Single LP.  See module docstring for the memory plan.
@@ -107,11 +107,13 @@ def _stream_kernel(
          basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          phase_out, infeas_out, obj_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
+         candcols, cand_ids, d_cand, wts_cand, vstat_cand,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     else:
         (basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          phase_out, infeas_out, obj_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
+         candcols, cand_ids, d_cand, wts_cand, vstat_cand,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
     ONE = jnp.float32(1.0)
@@ -430,19 +432,46 @@ def _stream_kernel(
 
     recompute_vectors()
 
-    # carry: (status, niter, phase, noimp, fresh, force)
+    # lane/sublane iotas for the candidate buffers (128 lanes fixed: the
+    # minimum Mosaic lane tile; minor_k <= 128 of them are used)
+    lane128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    rowKS = lax.broadcasted_iota(jnp.int32, (128, m), 0)
+    neg_inf = jnp.float32(NEG_INF)
+
+    def recompute_d():
+        """Phase-2 reduced costs from scratch: ONE Aᵀ stream — the MAJOR
+        pricing pass (replaces the round-2 per-pivot incremental d/Devex
+        stream; minors keep candidate reduced costs exact instead)."""
+        y = cB[...] @ Binv[...]
+
+        def set_d(t, tile):
+            v_t, c_t, _lo_t, _hi_t = tile_vectors(t)
+            d_t = c_t - jnp.dot(tile, y.T, preferred_element_type=F32).T
+            d_t = jnp.where(v_t == VarStat.BASIC, ZERO, d_t)
+            d[:, pl.ds(t * tile_n, tile_n)] = d_t
+
+        stream_tiles(set_d)
+
+    # carry: (status, niter, phase, noimp, fresh, force, sref)
     def cond(carry):
-        status, niter, phase, noimp, fresh, force = carry
+        status, niter, phase, noimp, fresh, force, sref = carry
         return (status == Status.RUNNING) & (niter < max_iter)
 
     def body(carry):
-        status, niter, phase, noimp, fresh, force = carry
+        """One MAJOR iteration: refresh bookkeeping, ONE full pricing
+        stream, top-`minor_k` candidate selection with their Aᵀ columns
+        fetched into VMEM, then up to `minor_k` MINOR pivots on the cached
+        columns (classic revised-simplex suboptimization).  The round-2
+        kernel streamed the whole (n, m) Aᵀ once per pivot (the d/Devex
+        update); here the stream amortizes over K pivots — candidate
+        reduced costs stay EXACT through per-minor (1, 128)-lane updates
+        (phase 2) or per-minor recomputation against σ (phase 1), and the
+        full d is recomputed at the next major from the refreshed y."""
+        status, niter, phase, noimp, fresh, force, sref = carry
 
         xB_pre = xB[...]
-        loBv = loB[...]
-        hiBv = hiB[...]
-        below_pre = xB_pre < loBv - feas_tol
-        above_pre = xB_pre > hiBv + feas_tol
+        below_pre = xB_pre < loB[...] - feas_tol
+        above_pre = xB_pre > hiB[...] + feas_tol
         feasible = jnp.sum((below_pre | above_pre).astype(F32)) == ZERO
         transition = (phase == 1) & feasible
         phase = jnp.where(transition, jnp.int32(2), phase)
@@ -450,8 +479,7 @@ def _stream_kernel(
         do_refresh = (
             transition
             | (force == 1)
-            | ((niter > jnp.int32(0))
-               & (niter % jnp.int32(refactor_period) == jnp.int32(0)))
+            | (sref >= jnp.int32(refactor_period))
         )
 
         @pl.when(do_refresh)
@@ -462,26 +490,24 @@ def _stream_kernel(
             recompute_vectors()
             tell[0] = resid
 
+        sref = jnp.where(do_refresh, jnp.int32(0), sref)
         # Newton divergence ⇒ the basis outgrew f32 (cond·eps_f32 ≳ 1):
         # further f32 pivots are noise, so exit NUMERICAL and let the host
         # f64 engine take over from this basis (driver handoff).
         diverged = do_refresh & (tell[0] > jnp.float32(0.5))
-
-        vstat = vstat_out[...]
-        basis = basis_out[...]
-        xBv = xB[...]
-        below = xBv < loBv - feas_tol
-        above = xBv > hiBv + feas_tol
-        ones_m = jnp.ones_like(xBv)
-        sigma = jnp.where(below, -ones_m, jnp.where(above, ones_m, ZERO * ones_m))
-        viol = jnp.maximum(loBv - xBv, ZERO) + jnp.maximum(xBv - hiBv, ZERO)
-        infeas = jnp.sum(viol)
+        fresh = jnp.where(do_refresh, jnp.int32(1), fresh)
         p1 = phase == 1
 
-        # ---- phase-1 composite reduced costs: one Aᵀ stream -----------------
+        # ---- major pricing: one Aᵀ stream ------------------------------------
         @pl.when(p1)
         def _():
-            y1 = sigma @ Binv[...]        # (1, m)
+            xBv0 = xB[...]
+            below0 = xBv0 < loB[...] - feas_tol
+            above0 = xBv0 > hiB[...] + feas_tol
+            ones0 = jnp.ones_like(xBv0)
+            sigma0 = jnp.where(below0, -ones0,
+                               jnp.where(above0, ones0, ZERO * ones0))
+            y1 = sigma0 @ Binv[...]        # (1, m)
 
             def set_d1(t, tile):
                 v_t = vstat_out[:, pl.ds(t * tile_n, tile_n)]
@@ -491,236 +517,354 @@ def _stream_kernel(
 
             stream_tiles(set_d1)
 
-        dcur = jnp.where(p1, d1[...], d[...])
+        @pl.when((~p1) & (~do_refresh))
+        def _():
+            recompute_d()  # a refresh in this body already recomputed d
 
-        # ---- pricing ----------------------------------------------------------
+        dcur = jnp.where(p1, d1[...], d[...])
+        vstat = vstat_out[...]
         bland = noimp >= bland_after
         can_up = (vstat == VarStat.AT_LOWER) | (vstat == VarStat.FREE)
         can_dn = (vstat == VarStat.AT_UPPER) | (vstat == VarStat.FREE)
         elig = (can_up & (dcur < -opt_tol)) | (can_dn & (dcur > opt_tol))
-        neg_inf = jnp.float32(NEG_INF)
+        found_any = jnp.sum(elig.astype(F32)) > ZERO
+        nelig = jnp.sum(elig.astype(jnp.int32))
         gam = jnp.where(p1, jnp.ones_like(wts[...]), wts[...])
-        score = jnp.where(elig, dcur * dcur / jnp.maximum(gam, ONE * devex_floor),
-                          neg_inf)
-        q_d = lax.argmax(score[0, :], 0, jnp.int32)
+        score0 = jnp.where(
+            elig, dcur * dcur / jnp.maximum(gam, ONE * devex_floor), neg_inf
+        )
         q_b = jnp.min(jnp.where(elig, col_ids, jnp.int32(n)))
-        q = jnp.where(bland, q_b, q_d)
-        found = jnp.sum(elig.astype(F32)) > ZERO
-        dq = sel_col(dcur, q)
-        s = jnp.where(dq < ZERO, jnp.float32(1.0), jnp.float32(-1.0))
 
-        # ---- FTRAN: aligned 8-row DMA + mask-select + VMEM matvec ------------
-        # (HBM sublane slices must be 8-aligned; fetch the block containing
-        # row q of Aᵀ and pick the row in VMEM).  Under Bland with no
-        # eligible column q = n, and the DMA is issued unconditionally —
-        # clamp the FETCH index (an OOB HBM DMA can fault the TPU worker);
-        # q itself keeps the sentinel for the bookkeeping below (unused
-        # when ~found).
-        q_safe = jnp.where(found, jnp.minimum(q, jnp.int32(n - 1)), jnp.int32(0))
-        qb = (q_safe // 8) * 8
-        cdma = pltpu.make_async_copy(
-            AT_hbm.at[pl.ds(qb, 8), :],
-            tilebuf.at[1, pl.ds(0, 8), :],
-            rsem,
-        )
-        cdma.start()
-        cdma.wait()
-        rows8 = lax.broadcasted_iota(jnp.int32, (8, m), 0)
-        Acol = jnp.sum(
-            jnp.where(rows8 == q_safe - qb, tilebuf[1, pl.ds(0, 8), :], ZERO),
-            axis=0, keepdims=True,
-        )                                  # (1, m)
-        w = (Binv[...] @ Acol.T).T         # (1, m)
+        # ---- candidate selection + column fetch (K aligned 8-row DMAs) -------
+        # Under Bland only ONE candidate (the lowest eligible index) is taken:
+        # after its pivot any lower-index column may become eligible, so the
+        # rule must re-price the full set every pivot to stay anti-cycling.
+        def sel_body(k, sc):
+            q_d = lax.argmax(sc[0, :], 0, jnp.int32)
+            qk = jnp.where(bland, q_b, q_d)
+            valid = (k < nelig) & ((~bland) | (k == jnp.int32(0)))
+            q_safe = jnp.where(valid, jnp.minimum(qk, jnp.int32(n - 1)),
+                               jnp.int32(0))
+            qb8 = (q_safe // 8) * 8
+            cdma = pltpu.make_async_copy(
+                AT_hbm.at[pl.ds(qb8, 8), :],
+                tilebuf.at[1, pl.ds(0, 8), :],
+                rsem,
+            )
+            cdma.start()
+            cdma.wait()
+            rows8 = lax.broadcasted_iota(jnp.int32, (8, m), 0)
+            acol = jnp.sum(
+                jnp.where(rows8 == q_safe - qb8,
+                          tilebuf[1, pl.ds(0, 8), :], ZERO),
+                axis=0, keepdims=True,
+            )                               # (1, m)
+            candcols[...] = jnp.where(
+                (rowKS == k) & valid,
+                jnp.broadcast_to(acol, (128, m)), candcols[...],
+            )
+            lane_k = lane128 == k
+            cand_ids[...] = jnp.where(
+                lane_k, jnp.where(valid, qk, jnp.int32(-1)), cand_ids[...]
+            )
+            d_cand[...] = jnp.where(
+                lane_k, jnp.where(valid, sel_col(dcur, qk), ZERO), d_cand[...]
+            )
+            wts_cand[...] = jnp.where(
+                lane_k, jnp.where(valid, sel_col(wts[...], qk), ONE),
+                wts_cand[...],
+            )
+            vstat_cand[...] = jnp.where(
+                lane_k,
+                jnp.where(valid, sel_col(vstat, qk),
+                          jnp.int32(VarStat.FIXED)),
+                vstat_cand[...],
+            )
+            return jnp.where(col_ids == qk, neg_inf, sc)
 
-        # ---- ratio test (identical to the megakernel) -------------------------
-        delta = -s * w
-        up = delta > pivot_tol
-        dn = delta < -pivot_tol
-        up_tgt = jnp.where(below, loBv, hiBv)
-        dn_tgt = jnp.where(above, hiBv, loBv)
-        up_ok = ~above
-        dn_ok = ~below
-        tgt = jnp.where(up, up_tgt, jnp.where(dn, dn_tgt, ZERO))
-        blockable = ((up & up_ok) | (dn & dn_ok)) & jnp.isfinite(tgt)
-        ratio = jnp.where(
-            blockable, (tgt - xBv) / jnp.where(up | dn, delta, ONE),
-            jnp.float32(jnp.inf),
-        )
-        ratio = jnp.maximum(ratio, ZERO)
-        t_rows = jnp.min(ratio)
-        tie = ratio <= t_rows * jnp.float32(1.0001) + jnp.float32(1e-6)
-        r_stab = lax.argmax(jnp.where(tie, jnp.abs(w), neg_inf)[0, :], 0,
-                            jnp.int32)
-        # anti-cycling: under a detected stall both the entering AND leaving
-        # choices switch to Bland's rule (lowest index); the megakernel only
-        # guards phase 1, which is fine at its small sizes, but maros-scale
-        # degeneracy needs the full rule in phase 2 as well
-        # (Mosaic argmin lowers for f32 only; indices < 2^24 are f32-exact)
-        r_bland = lax.argmin(
-            jnp.where(tie, basis, jnp.int32(n)).astype(F32)[0, :],
-            0, jnp.int32,
-        )
-        r = jnp.where(bland, r_bland, r_stab)
-        lo_q = sel_col(lo, q)
-        hi_q = sel_col(hi, q)
-        rng_q = hi_q - lo_q
-        flip = rng_q <= t_rows
-        unbounded = ~jnp.isfinite(jnp.minimum(t_rows, rng_q))
-        t = jnp.where(flip, rng_q, sel_row(ratio, r))
+        lax.fori_loop(0, minor_k, sel_body, score0)
 
-        do_pivot = found & ~flip & ~unbounded
-        do_flip = found & flip & ~unbounded
+        # ---- minor pivots on the cached candidate columns --------------------
+        def minor_cond(mc):
+            j, status, niter, noimp, fresh, sref, stop, wexit = mc
+            return ((j < jnp.int32(minor_k)) & (stop == 0)
+                    & (status == Status.RUNNING) & (niter < max_iter))
 
-        vq = sel_col(vstat, q)
-        enter_base = jnp.where(
-            (vq == VarStat.AT_LOWER) | (vq == VarStat.FIXED), lo_q,
-            jnp.where(vq == VarStat.AT_UPPER, hi_q, ZERO),
-        )
-        lv = sel_row(basis, r)
-        loB_r = sel_row(loBv, r)
-        hiB_r = sel_row(hiBv, r)
-        tgt_r = sel_row(tgt, r)
-        lstat = jnp.where(
-            loB_r == hiB_r, jnp.int32(VarStat.FIXED),
-            jnp.where(tgt_r == hiB_r, jnp.int32(VarStat.AT_UPPER),
-                      jnp.int32(VarStat.AT_LOWER)),
-        )
+        def minor_body(mc):
+            j, status, niter, noimp, fresh, sref, stop, wexit = mc
+            loBv = loB[...]
+            hiBv = hiB[...]
+            xBv = xB[...]
+            basis = basis_out[...]
+            below = xBv < loBv - feas_tol
+            above = xBv > hiBv + feas_tol
+            cids = cand_ids[...]
+            vc = vstat_cand[...]
 
-        # bound flip
-        xB_flip = xBv + t * delta
-        vstat_flip = jnp.where(
-            col_ids == q,
-            jnp.where(vstat == VarStat.AT_LOWER, jnp.int32(VarStat.AT_UPPER),
-                      jnp.int32(VarStat.AT_LOWER)),
-            vstat,
-        )
+            # candidate reduced costs: phase 2 maintains them exactly on the
+            # (1, 128) lane vector; phase 1 recomputes them against the
+            # current σ (state-dependent) from the cached columns
+            ones_m = jnp.ones_like(xBv)
+            sigma = jnp.where(below, -ones_m,
+                              jnp.where(above, ones_m, ZERO * ones_m))
+            y1 = sigma @ Binv[...]
+            d1c = -lax.dot_general(
+                y1, candcols[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=F32,
+            )                               # (1, 128)
+            dc = jnp.where(p1, d1c, d_cand[...])
+            dc = jnp.where(vc == VarStat.BASIC, ZERO, dc)
+            valid_c = cids >= jnp.int32(0)
+            can_up_c = (vc == VarStat.AT_LOWER) | (vc == VarStat.FREE)
+            can_dn_c = (vc == VarStat.AT_UPPER) | (vc == VarStat.FREE)
+            elig_c = valid_c & (
+                (can_up_c & (dc < -opt_tol)) | (can_dn_c & (dc > opt_tol))
+            )
+            found = jnp.sum(elig_c.astype(F32)) > ZERO
 
-        # ---- pivot: PFI + maintained state + fused α/d/Devex stream ----------
-        onehot_r = (row_ids == r).astype(F32)
-        wr = sel_row(w, r)
-        wr_safe = jnp.where(wr == ZERO, ONE, wr)
-        pr = (onehot_r @ Binv[...]) / wr_safe           # (1, m)
-        x_enter = enter_base + s * t
-        xB_piv = jnp.where(row_ids == r, x_enter, xBv + t * delta)
-        basis_piv = jnp.where(row_ids == r, q, basis)
-        vstat_piv = jnp.where(col_ids == lv, lstat, vstat)
-        vstat_piv = jnp.where(col_ids == q, jnp.int32(VarStat.BASIC), vstat_piv)
-        loB_piv = jnp.where(row_ids == r, lo_q, loBv)
-        hiB_piv = jnp.where(row_ids == r, hi_q, hiBv)
-        cB_piv = jnp.where(row_ids == r, sel_col(c, q), cB[...])
+            score_c = jnp.where(
+                elig_c,
+                dc * dc / jnp.maximum(wts_cand[...], ONE * devex_floor),
+                neg_inf,
+            )
+            k_d = lax.argmax(score_c[0, :], 0, jnp.int32)
+            # Bland entering: lowest ORIGINAL column index among eligible
+            # candidates (f32-exact: ids < 2^24)
+            k_b = lax.argmin(
+                jnp.where(elig_c, cids, jnp.int32(n)).astype(F32)[0, :],
+                0, jnp.int32,
+            )
+            ksel = jnp.where(bland, k_b, k_d)
+            lane_sel = lane128 == ksel
+            q = jnp.sum(jnp.where(lane_sel, cids, jnp.int32(0)))
+            dq = jnp.sum(jnp.where(lane_sel, dc, ZERO))
+            gq = jnp.maximum(
+                jnp.sum(jnp.where(lane_sel, wts_cand[...], ZERO)), ONE
+            )
+            vq = jnp.sum(jnp.where(lane_sel, vc, jnp.int32(0)))
+            s = jnp.where(dq < ZERO, jnp.float32(1.0), jnp.float32(-1.0))
 
-        # ---- select + write back (vstat first: the fused stream below reads
-        # the POST-pivot statuses from the ref) ---------------------------------
-        xB[...] = jnp.where(do_pivot, xB_piv,
-                            jnp.where(do_flip, xB_flip, xBv))
-        basis_out[...] = jnp.where(do_pivot, basis_piv, basis)
-        vstat_out[...] = jnp.where(
-            do_pivot, vstat_piv, jnp.where(do_flip, vstat_flip, vstat)
-        )
-        loB[...] = jnp.where(do_pivot, loB_piv, loBv)
-        hiB[...] = jnp.where(do_pivot, hiB_piv, hiBv)
-        cB[...] = jnp.where(do_pivot, cB_piv, cB[...])
+            # FTRAN from the cached column — no HBM traffic in a minor
+            acol = jnp.sum(
+                jnp.where(rowKS == ksel, candcols[...], ZERO),
+                axis=0, keepdims=True,
+            )                               # (1, m)
+            w = (Binv[...] @ acol.T).T      # (1, m)
 
-        # phase-2 incremental d/Devex: stream Aᵀ ONCE, fusing the pivot row α
-        # into both updates tile-by-tile (the only per-iteration full-matrix
-        # traffic; phase 1 recomputes d1 wholesale instead and skips this)
-        rd = dq / wr_safe
-        gq = jnp.maximum(sel_col(wts[...], q), ONE)
+            # ---- ratio test (identical to the megakernel) --------------------
+            delta = -s * w
+            up = delta > pivot_tol
+            dn = delta < -pivot_tol
+            up_tgt = jnp.where(below, loBv, hiBv)
+            dn_tgt = jnp.where(above, hiBv, loBv)
+            up_ok = ~above
+            dn_ok = ~below
+            tgt = jnp.where(up, up_tgt, jnp.where(dn, dn_tgt, ZERO))
+            blockable = ((up & up_ok) | (dn & dn_ok)) & jnp.isfinite(tgt)
+            ratio = jnp.where(
+                blockable, (tgt - xBv) / jnp.where(up | dn, delta, ONE),
+                jnp.float32(jnp.inf),
+            )
+            ratio = jnp.maximum(ratio, ZERO)
+            t_rows = jnp.min(ratio)
+            tie = ratio <= t_rows * jnp.float32(1.0001) + jnp.float32(1e-6)
+            r_stab = lax.argmax(jnp.where(tie, jnp.abs(w), neg_inf)[0, :], 0,
+                                jnp.int32)
+            r_bland = lax.argmin(
+                jnp.where(tie, basis, jnp.int32(n)).astype(F32)[0, :],
+                0, jnp.int32,
+            )
+            r = jnp.where(bland, r_bland, r_stab)
+            lo_q = sel_col(lo, q)
+            hi_q = sel_col(hi, q)
+            rng_q = hi_q - lo_q
+            flip = rng_q <= t_rows
+            unbounded = ~jnp.isfinite(jnp.minimum(t_rows, rng_q))
+            t = jnp.where(flip, rng_q, sel_row(ratio, r))
 
-        @pl.when(do_pivot & ~p1)
-        def _():
-            prw = pr * wr_safe              # Binv[r] (1, m)
+            do_pivot = found & ~flip & ~unbounded
+            do_flip = found & flip & ~unbounded
 
-            def upd(tix, tile):
-                sl = (slice(None), pl.ds(tix * tile_n, tile_n))
-                a_t = jnp.dot(tile, prw.T, preferred_element_type=F32).T
-                cid = tcol_ids + tix * tile_n
-                d_t = d[sl] - rd * a_t
-                d_t = jnp.where(cid == q, ZERO, d_t)
-                d_t = jnp.where(cid == lv, -rd, d_t)
-                w_t = wts[sl]
-                tc = a_t / wr_safe
-                w_t = jnp.maximum(w_t, (tc * tc) * gq)
-                w_t = jnp.where(cid == lv,
-                                jnp.maximum(gq / (wr_safe * wr_safe), ONE), w_t)
-                w_t = jnp.where(cid == q, ONE, w_t)
-                w_t = jnp.where(gq > jnp.float32(devex_reset),
-                                jnp.ones_like(w_t), w_t)
-                v_t = vstat_out[sl]          # post-pivot statuses
-                d_t = jnp.where(v_t == VarStat.BASIC, ZERO, d_t)
-                d[sl] = d_t
-                wts[sl] = w_t
+            enter_base = jnp.where(
+                (vq == VarStat.AT_LOWER) | (vq == VarStat.FIXED), lo_q,
+                jnp.where(vq == VarStat.AT_UPPER, hi_q, ZERO),
+            )
+            lv = sel_row(basis, r)
+            loB_r = sel_row(loBv, r)
+            hiB_r = sel_row(hiBv, r)
+            tgt_r = sel_row(tgt, r)
+            lstat = jnp.where(
+                loB_r == hiB_r, jnp.int32(VarStat.FIXED),
+                jnp.where(tgt_r == hiB_r, jnp.int32(VarStat.AT_UPPER),
+                          jnp.int32(VarStat.AT_LOWER)),
+            )
 
-            stream_tiles(upd)
+            # bound flip
+            vstat = vstat_out[...]
+            xB_flip = xBv + t * delta
+            vstat_flip = jnp.where(
+                col_ids == q,
+                jnp.where(vstat == VarStat.AT_LOWER,
+                          jnp.int32(VarStat.AT_UPPER),
+                          jnp.int32(VarStat.AT_LOWER)),
+                vstat,
+            )
 
-        @pl.when(do_pivot)
-        def _():
-            # PFI rank-1 inverse update, tiled over row blocks: the one-shot
-            # outer-product form materializes an (m, m) temporary (~41 MB at
-            # maros scale) on top of Binv itself, overflowing the VMEM
-            # budget; per-tile it is a (tile_m, m) temp.  w and pr are
-            # stashed in refs so tiles can be sliced at provably-aligned
-            # offsets (values can't be dynamically sliced under Mosaic).
-            wrow[...] = w - onehot_r
-            prrow[...] = pr
+            # ---- pivot: PFI + maintained state ------------------------------
+            onehot_r = (row_ids == r).astype(F32)
+            wr = sel_row(w, r)
+            wr_safe = jnp.where(wr == ZERO, ONE, wr)
+            pr = (onehot_r @ Binv[...]) / wr_safe       # (1, m)
+            x_enter = enter_base + s * t
+            xB_piv = jnp.where(row_ids == r, x_enter, xBv + t * delta)
+            basis_piv = jnp.where(row_ids == r, q, basis)
+            vstat_piv = jnp.where(col_ids == lv, lstat, vstat)
+            vstat_piv = jnp.where(col_ids == q, jnp.int32(VarStat.BASIC),
+                                  vstat_piv)
+            loB_piv = jnp.where(row_ids == r, lo_q, loBv)
+            hiB_piv = jnp.where(row_ids == r, hi_q, hiBv)
+            cB_piv = jnp.where(row_ids == r, sel_col(c, q), cB[...])
 
-            def pfi_tile(t, _):
-                sl = pl.ds(t * tb, tb)
-                wt = wrow[:, sl]                       # (1, tb)
-                Binv[sl, :] = Binv[sl, :] - jnp.dot(
-                    wt.T, prrow[...], preferred_element_type=F32
+            xB[...] = jnp.where(do_pivot, xB_piv,
+                                jnp.where(do_flip, xB_flip, xBv))
+            basis_out[...] = jnp.where(do_pivot, basis_piv, basis)
+            vstat_out[...] = jnp.where(
+                do_pivot, vstat_piv, jnp.where(do_flip, vstat_flip, vstat)
+            )
+            loB[...] = jnp.where(do_pivot, loB_piv, loBv)
+            hiB[...] = jnp.where(do_pivot, hiB_piv, hiBv)
+            cB[...] = jnp.where(do_pivot, cB_piv, cB[...])
+
+            # candidate-state maintenance: exact d/Devex updates on the
+            # (1, 128) lane vectors (α restricted to candidates is one
+            # (1, m)×(m, 128) MXU product against the cached columns)
+            rd = dq / wr_safe
+            prw = pr * wr_safe              # Binv_old[r] (1, m)
+            alpha_c = lax.dot_general(
+                prw, candcols[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=F32,
+            )                               # (1, 128)
+
+            @pl.when(do_pivot)
+            def _():
+                dc2 = d_cand[...] - rd * alpha_c
+                dc2 = jnp.where(cids == q, ZERO, dc2)
+                dc2 = jnp.where(cids == lv, -rd, dc2)
+                d_cand[...] = dc2
+                tc = alpha_c / wr_safe
+                wc = jnp.maximum(wts_cand[...], (tc * tc) * gq)
+                wc = jnp.where(
+                    cids == lv,
+                    jnp.maximum(gq / (wr_safe * wr_safe), ONE), wc,
                 )
-                return 0
+                wc = jnp.where(cids == q, ONE, wc)
+                wc = jnp.where(gq > jnp.float32(devex_reset),
+                               jnp.ones_like(wc), wc)
+                wts_cand[...] = wc
+                vstat_cand[...] = jnp.where(
+                    cids == lv, lstat,
+                    jnp.where(cids == q, jnp.int32(VarStat.BASIC), vc),
+                )
+                # loose full-weight sync (the next major's candidate
+                # selection reads wts; non-candidate growth stays stale —
+                # "stale Devex", corrected when a column becomes a candidate)
+                wfull = wts[...]
+                wfull = jnp.where(
+                    col_ids == lv,
+                    jnp.maximum(gq / (wr_safe * wr_safe), ONE), wfull,
+                )
+                wfull = jnp.where(col_ids == q, ONE, wfull)
+                wts[...] = wfull
 
-            lax.fori_loop(0, m_tiles, pfi_tile, 0)
-            basis_smem[r] = q
+            @pl.when(do_flip)
+            def _():
+                vstat_cand[...] = jnp.where(
+                    cids == q,
+                    jnp.where(vc == VarStat.AT_LOWER,
+                              jnp.int32(VarStat.AT_UPPER),
+                              jnp.int32(VarStat.AT_LOWER)),
+                    vc,
+                )
 
-        # ---- status transitions (terminal only from fresh state) --------------
-        fresh_now = jnp.where(do_refresh, jnp.int32(1), fresh)
-        wants_exit = (~found) | (found & unbounded)
-        believe = fresh_now == 1
-        status = jnp.where(
-            found,
-            jnp.where(
-                unbounded & believe,
+            @pl.when(do_pivot)
+            def _():
+                # PFI rank-1 inverse update, tiled over row blocks (an
+                # (m, m) outer-product temporary would overflow VMEM)
+                wrow[...] = w - onehot_r
+                prrow[...] = pr
+
+                def pfi_tile(tt, _):
+                    sl = pl.ds(tt * tb, tb)
+                    wt = wrow[:, sl]                   # (1, tb)
+                    Binv[sl, :] = Binv[sl, :] - jnp.dot(
+                        wt.T, prrow[...], preferred_element_type=F32
+                    )
+                    return 0
+
+                lax.fori_loop(0, m_tiles, pfi_tile, 0)
+                basis_smem[r] = q
+
+            # ---- minor status/progress accounting ---------------------------
+            believe = fresh == 1
+            status = jnp.where(
+                found & unbounded & believe,
                 jnp.where(p1, jnp.int32(Status.NUMERICAL),
                           jnp.int32(Status.UNBOUNDED)),
                 status,
-            ),
-            jnp.where(
-                believe,
-                jnp.where(p1, jnp.int32(Status.INFEASIBLE),
-                          jnp.int32(Status.OPTIMAL)),
-                status,
-            ),
+            )
+            wexit = jnp.where(found & unbounded & ~believe,
+                              jnp.int32(1), wexit)
+            applied = found & ~unbounded
+            fresh = jnp.where(applied, jnp.int32(0), fresh)
+            niter = niter + jnp.where(applied, jnp.int32(1), jnp.int32(0))
+            sref = sref + jnp.where(applied, jnp.int32(1), jnp.int32(0))
+            # stall tracking by DEGENERATE-step counting (see round-2 note:
+            # objective-proxy detectors misfire late-solve)
+            degenerate = applied & (t <= jnp.float32(1e-9))
+            noimp = jnp.where(
+                applied, jnp.where(degenerate, noimp + 1, jnp.int32(0)),
+                noimp,
+            )
+            # exit minors: candidates exhausted/ineligible, unbounded ray,
+            # refresh due (bounds f32 drift), or Bland active (full
+            # re-pricing every pivot keeps anti-cycling exact)
+            stop = jnp.where(
+                (~found) | unbounded | (sref >= jnp.int32(refactor_period))
+                | bland,
+                jnp.int32(1), stop,
+            )
+            return (j + 1, status, niter, noimp, fresh, sref, stop, wexit)
+
+        init_minor = (
+            jnp.int32(0), status, niter, noimp, fresh, sref,
+            jnp.int32(0), jnp.int32(0),
+        )
+        (_j, status, niter, noimp, fresh, sref, _stop, wexit) = lax.while_loop(
+            minor_cond, minor_body, init_minor
+        )
+
+        # ---- major terminal claims (only from fresh state) -------------------
+        believe = fresh == 1
+        status = jnp.where(
+            (~found_any) & believe & (status == Status.RUNNING),
+            jnp.where(p1, jnp.int32(Status.INFEASIBLE),
+                      jnp.int32(Status.OPTIMAL)),
+            status,
         )
         force = jnp.where(
-            wants_exit & ~believe & (status == Status.RUNNING),
+            ((~found_any) | (wexit == 1)) & ~believe
+            & (status == Status.RUNNING),
             jnp.int32(1), jnp.int32(0),
         )
-        applied = found & ~unbounded
-        fresh = jnp.where(applied, jnp.int32(0), fresh_now)
-        niter = niter + jnp.where(applied, jnp.int32(1), jnp.int32(0))
-
-        # stall tracking in BOTH phases by DEGENERATE-step counting: cycling
-        # (the thing Bland's rule exists for) consists of zero-length steps,
-        # so count consecutive pivots with t ≈ 0 and switch to Bland after
-        # `bland_after` of them.  (An objective-proxy detector was tried and
-        # misfires: late-solve progress per pivot is genuinely tiny, and the
-        # false Bland switches doubled the 25fv47 pivot count.)
-        degenerate = applied & (t <= jnp.float32(1e-9))
-        noimp = jnp.where(
-            applied, jnp.where(degenerate, noimp + 1, jnp.int32(0)), noimp
-        )
-
         status = jnp.where(diverged, jnp.int32(Status.NUMERICAL), status)
-        return (status, niter, phase, noimp, fresh, force)
+        return (status, niter, phase, noimp, fresh, force, sref)
 
     # warm restarts distrust the handed-in (f32-cast) inverse: fresh=0 forces
     # a Newton refresh before any terminal claim is believed
     init = (
         jnp.int32(Status.RUNNING), jnp.int32(0), jnp.int32(1),
         jnp.int32(0), jnp.int32(0 if warm else 1), jnp.int32(0),
+        jnp.int32(0),
     )
     status, niter, phase_f, *_rest = lax.while_loop(cond, body, init)
     status = jnp.where(
@@ -758,14 +902,14 @@ def _stream_kernel(
     static_argnames=(
         "slack0", "tile_n", "tile_m", "max_iter", "refactor_period",
         "newton_sweeps", "feas_tol", "opt_tol", "pivot_tol", "bland_after",
-        "devex_floor", "devex_reset", "interpret",
+        "devex_floor", "devex_reset", "minor_k", "interpret",
     ),
 )
 def stream_kernel_call(
     AT32, b32, c32, lo32, hi32, *warm_args,
     slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
     feas_tol, opt_tol, pivot_tol, bland_after, devex_floor, devex_reset,
-    interpret,
+    minor_k, interpret,
 ):
     n, m = AT32.shape
     warm = bool(warm_args)
@@ -775,7 +919,8 @@ def stream_kernel_call(
         max_iter=max_iter, refactor_period=refactor_period,
         newton_sweeps=newton_sweeps, feas_tol=feas_tol, opt_tol=opt_tol,
         pivot_tol=pivot_tol, bland_after=bland_after,
-        devex_floor=devex_floor, devex_reset=devex_reset, warm=warm,
+        devex_floor=devex_floor, devex_reset=devex_reset, minor_k=minor_k,
+        warm=warm,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     warm_specs = (
@@ -817,6 +962,11 @@ def stream_kernel_call(
             pltpu.VMEM((1, n), F32),        # d1 (phase-1 composite)
             pltpu.VMEM((1, m), F32),        # wrow (PFI tile stash)
             pltpu.VMEM((1, m), F32),        # prrow (PFI tile stash)
+            pltpu.VMEM((128, m), F32),      # candidate Aᵀ columns (cached)
+            pltpu.VMEM((1, 128), jnp.int32),  # candidate column ids
+            pltpu.VMEM((1, 128), F32),      # candidate reduced costs
+            pltpu.VMEM((1, 128), F32),      # candidate Devex weights
+            pltpu.VMEM((1, 128), jnp.int32),  # candidate statuses
             pltpu.VMEM((2, max(tile_n, tile_m), m), F32),  # Aᵀ tile dbl buffer
             pltpu.VMEM((max(tile_n, tile_m), m), F32),  # general tile temp
             pltpu.SMEM((m,), jnp.int32),    # basis (scalar-indexable)
@@ -845,6 +995,7 @@ def solve_streaming_pallas(
     bland_after: int = 400,
     devex_floor: float = 1e-12,
     devex_reset: float = 1e8,
+    minor_k: int = 16,
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | None = 8192,
@@ -879,6 +1030,8 @@ def solve_streaming_pallas(
     m, n = A.shape
     if slack0 is None:
         slack0 = n - m
+    if not (1 <= minor_k <= 128):
+        raise ValueError(f"minor_k={minor_k} must be in [1, 128]")
     n_pad = -(-n // tile_n) * tile_n
     if n_pad != n:
         pad = n_pad - n
@@ -942,7 +1095,8 @@ def solve_streaming_pallas(
                 refactor_period=refactor_period, newton_sweeps=newton_sweeps,
                 feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
                 bland_after=bland_after, devex_floor=devex_floor,
-                devex_reset=devex_reset, interpret=interpret,
+                devex_reset=devex_reset, minor_k=minor_k,
+                interpret=interpret,
             )
             total_iter += int(out[3][0, 0])
             st = int(out[2][0, 0])

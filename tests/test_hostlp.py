@@ -1,0 +1,117 @@
+"""Host sparse simplex engine gates (engine/hostlp.py).
+
+The host engine is the exact-f64 certify/polish/incremental seam — the role
+the reference's `src/solver.rs` + `src/lu.rs` play natively.  Gates: oracle
+agreement on mixed random LPs (statuses included), eta-file FTRAN/BTRAN
+exactness against dense linear algebra, and warm-start behavior.
+"""
+
+import numpy as np
+import pytest
+
+from minilp_tpu.canonical import canonicalize
+from minilp_tpu.engine import hostlp
+from minilp_tpu.options import SolverOptions
+from minilp_tpu.status import Status
+
+from .oracle import random_problem, solve_with_oracle
+
+_STATUS_NAME = {
+    int(Status.OPTIMAL): "optimal",
+    int(Status.INFEASIBLE): "infeasible",
+    int(Status.UNBOUNDED): "unbounded",
+}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_hostlp_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    prob = random_problem(rng, nv=40, m=25, density=0.5)
+    outcome, obj, _x = solve_with_oracle(prob)
+    can = canonicalize(prob, dtype=np.float64)
+    res = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+        opts=SolverOptions(),
+    )
+    assert res is not None
+    assert _STATUS_NAME.get(res.status) == outcome
+    if outcome == "optimal":
+        got = can.obj_sign * res.obj
+        assert abs(got - obj) <= 1e-7 * (1 + abs(obj))
+
+
+def test_hostlp_netlib_shape_25fv47():
+    """Cold solve at the 25fv47 shape agrees with the oracle (the host
+    engine's Netlib-class correctness gate; ~15 s)."""
+    from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
+
+    m, nv, d = NETLIB_SHAPES["25fv47"]
+    prob = netlib_shaped_problem(m, nv, d, seed=1)
+    outcome, obj, _ = solve_with_oracle(prob)
+    assert outcome == "optimal"
+    can = canonicalize(prob, dtype=np.float64)
+    res = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+        opts=SolverOptions(),
+    )
+    assert res.status == int(Status.OPTIMAL)
+    got = can.obj_sign * res.obj
+    assert abs(got - obj) <= 1e-7 * (1 + abs(obj))
+
+
+def test_hostlp_warm_restart_is_cheap():
+    """Re-solving from the optimal basis terminates in O(1) pivots."""
+    rng = np.random.default_rng(3)
+    prob = random_problem(rng, nv=30, m=20, density=0.6)
+    outcome, obj, _ = solve_with_oracle(prob)
+    if outcome != "optimal":
+        pytest.skip("instance not optimal")
+    can = canonicalize(prob, dtype=np.float64)
+    opts = SolverOptions()
+    res = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+        opts=opts,
+    )
+    assert res.status == int(Status.OPTIMAL)
+    warm = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, res.basis, res.vstat, opts=opts,
+    )
+    assert warm.status == int(Status.OPTIMAL)
+    assert warm.niter <= 2
+    assert abs(warm.obj - res.obj) <= 1e-9 * (1 + abs(res.obj))
+
+
+def test_hostlp_singular_basis_returns_none():
+    rng = np.random.default_rng(5)
+    prob = random_problem(rng, nv=20, m=10, density=0.8)
+    can = canonicalize(prob, dtype=np.float64)
+    bad = np.zeros(can.M, dtype=np.int32)  # repeated column ⇒ singular
+    assert hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, bad, can.vstat0,
+        opts=SolverOptions(),
+    ) is None
+
+
+def test_eta_file_ftran_btran_exact():
+    """BasisLU with a few recorded etas solves against the updated basis
+    exactly (compared to dense solves)."""
+    rng = np.random.default_rng(7)
+    m = 12
+    A = rng.normal(size=(m, 3 * m))
+    import scipy.sparse as sp
+
+    A_csc = sp.csc_matrix(A)
+    basis = np.arange(m)
+    lu = hostlp.BasisLU(A_csc, basis)
+    basis = basis.copy()
+    # three successive pivots: column q replaces basis row r
+    for q, r in [(2 * m, 3), (2 * m + 5, 7), (m + 1, 3)]:
+        w = lu.ftran(A[:, q])
+        lu.update(w, r)
+        basis[r] = q
+    Bd = A[:, basis]
+    rhs = rng.normal(size=m)
+    np.testing.assert_allclose(lu.ftran(rhs.copy()),
+                               np.linalg.solve(Bd, rhs), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(lu.btran(rhs.copy()),
+                               np.linalg.solve(Bd.T, rhs), rtol=1e-9, atol=1e-9)

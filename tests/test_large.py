@@ -70,6 +70,45 @@ def test_maros_r7_shape_certified():
 
 @pytest.mark.slow
 @pytest.mark.skipif("not config.getoption('--run-slow', default=False)")
+def test_maros_r7_shape_pdhg_sparse():
+    """PDHG sparse-BCOO path at the reference's biggest headline shape
+    (SURVEY §8 Phase 5's pds-class pressure valve): 3136×9408 @ ~0.5%,
+    capped iterations, ≤1e-5 relative objective agreement vs the oracle."""
+    prob, obj = _instance("maros-r7", seed=3)
+    prob.options = SolverOptions(
+        engine="pdhg", feas_tol=1e-6, pdhg_matrix="sparse",
+        pdhg_max_iter=400_000,
+    )
+    sol = prob.solve()
+    assert abs(sol.objective() - obj) <= 1e-5 * (1 + abs(obj))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif("not config.getoption('--run-slow', default=False)")
+def test_maros_r7_shape_hostlp_cold():
+    """The host sparse engine (engine/hostlp.py) solves the maros-r7 shape
+    cold on CPU — the M>2048 driver route when no chip is present.  This is
+    the gate the round-2 dense engines could not pass (>50 min); the sparse
+    LU + long-step phase 1 bring it to minutes."""
+    import numpy as np
+
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.engine import hostlp
+    from minilp_tpu.status import Status
+
+    prob, obj = _instance("maros-r7", seed=1)
+    can = canonicalize(prob, dtype=np.float64)
+    res = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+        opts=SolverOptions(),
+    )
+    assert res is not None and res.status == int(Status.OPTIMAL)
+    got = can.obj_sign * res.obj
+    assert abs(got - obj) <= 1e-7 * (1 + abs(obj))
+
+
+@pytest.mark.slow
+@pytest.mark.skipif("not config.getoption('--run-slow', default=False)")
 def test_800x1500_sparse_boxed():
     # legacy round-1 gate: mixed-sense random sparse instance through the
     # default engine selection (f64 XLA engine on CPU)

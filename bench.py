@@ -99,6 +99,73 @@ def _netlib_shape_metric() -> dict:
     }
 
 
+def _maros_shape_metric() -> dict:
+    """maros-r7-shape certified single solve — the reference's biggest
+    headline instance (BASELINE §1), through the default route: streaming
+    kernel f32 bulk pivots on the chip + host sparse-LU exact finish."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None  # CPU cold solve at this scale is the --run-slow gate
+    from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
+
+    m, nv, dens = NETLIB_SHAPES["maros-r7"]
+    prob = netlib_shaped_problem(m, nv, dens, seed=1)
+    t0 = time.perf_counter()
+    sol = prob.solve()
+    wall = time.perf_counter() - t0
+    return {
+        "shape": f"{m}x{nv}",
+        "wall_s": round(wall, 2),
+        "iters": int(sol._engine.iterations()),
+        "certified": bool(sol._engine.certified),
+    }
+
+
+def _streaming_pivot_rate() -> dict | None:
+    """Device pivot rate of the HBM-streaming kernel at the padded 25fv47
+    shape (896x2560) — the VERDICT round-2 roofline metric.  Warm (compile
+    cached by the first call); TPU only."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.engine.driver import _try_streaming_solve  # noqa: F401
+    from minilp_tpu.ops.kernels.streaming_simplex import solve_streaming_pallas
+    from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
+
+    m, nv, dens = NETLIB_SHAPES["25fv47"]
+    prob = netlib_shaped_problem(m, nv, dens, seed=1)
+    can = canonicalize(prob, dtype=np.float64)
+    # row-pad to the kernel's 128-lane layout (driver's transform)
+    M, nv_ = can.M, can.nv
+    M2 = -(-M // 128) * 128
+    n2 = nv_ + M2
+    A2 = np.zeros((M2, n2), dtype=can.A.dtype)
+    A2[:M, : nv_ + M] = can.A[:, : nv_ + M]
+    A2[np.arange(M, M2), nv_ + M + np.arange(M2 - M)] = 1.0
+    b = np.concatenate([can.b, np.zeros(M2 - M)])
+    c = np.concatenate([can.c[: nv_ + M], np.zeros(M2 - M)])
+    lo = np.concatenate([can.lo[: nv_ + M], np.zeros(M2 - M)])
+    hi = np.concatenate([can.hi[: nv_ + M], np.zeros(M2 - M)])
+    walls, iters = [], []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res = solve_streaming_pallas(
+            A2, b, c, lo, hi, slack0=nv_, max_iter=200_000,
+        )
+        walls.append(time.perf_counter() - t0)
+        iters.append(int(res.niter))
+    return {
+        "shape": f"{M2}x{n2}",
+        "pivots": iters[-1],
+        "warm_wall_s": round(walls[-1], 3),
+        "pivots_per_sec": round(iters[-1] / walls[-1], 1),
+        "status_optimal": bool(res.status == 1),
+    }
+
+
 def main() -> None:
     import jax
 
@@ -188,6 +255,8 @@ def main() -> None:
 
     single_lp = _single_lp_and_incremental_metrics()
     netlib_shape = _netlib_shape_metric()
+    stream_rate = _streaming_pivot_rate()
+    maros_shape = _maros_shape_metric()
 
     print(json.dumps({
         "metric": "batched_lp_throughput",
@@ -209,6 +278,10 @@ def main() -> None:
         "single_lp": single_lp,
         # BASELINE §1: certified Netlib-shape (25fv47) single solve
         "netlib_shape_25fv47": netlib_shape,
+        # BASELINE §1: the biggest headline instance, certified end-to-end
+        "netlib_shape_maros_r7": maros_shape,
+        # streaming-kernel device pivot rate (VERDICT r2 roofline metric)
+        "streaming_pivot_rate": stream_rate,
         "backend": jax.default_backend(),
     }))
 

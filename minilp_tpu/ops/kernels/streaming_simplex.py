@@ -22,12 +22,19 @@ set across the memory hierarchy the way the hardware wants it:
   DMA'd home.  ‖I − X·B‖∞ falls out of the same sweep as the divergence
   telltale (`ok`), exactly like engine/basis.py's refresh.
 
-HBM traffic per iteration is ONE Aᵀ stream (phase 1 prices a recomputed
-composite d₁; phase 2 fuses the α pass with the d/Devex updates — phase-2
-pricing itself touches only the maintained VMEM d) plus one (1, m) column
-DMA — the streaming floor for a dense revised simplex.  Everything else
-(ratio test, PFI rank-1 inverse update, one-hot maintained-state writes) is
-VMEM work identical to the megakernel.
+HBM traffic: ONE Aᵀ pricing stream per MAJOR iteration (phase 1 prices the
+composite d₁, phase 2 recomputes d from the refreshed y), which selects the
+top-`minor_k` candidates and caches their columns in a (128, m) VMEM
+buffer; up to `minor_k` MINOR pivots then run entirely from VMEM (classic
+revised-simplex suboptimization), with candidate reduced costs kept exact
+through (1, 128)-lane updates (phase 2) or per-minor recomputation against
+σ (phase 1).  Per-pivot HBM traffic is therefore ~1/K of a full stream plus
+one (1, m) column DMA per candidate — the round-2 kernel streamed the whole
+matrix once per pivot.  Everything else (ratio test, PFI rank-1 inverse
+update, one-hot maintained-state writes) is VMEM work identical to the
+megakernel.  Devex weights for non-candidates go stale between majors
+("stale Devex") and are corrected when a column re-enters the candidate
+set; the entering/leaving lanes sync to the full weight vector each minor.
 
 Precision contract: f32 iterate, exact f64 host certification of the final
 (basis, vstat) — `_verify_f64`, shared with the megakernel — with the same
@@ -84,6 +91,7 @@ def _stream_kernel(
     refactor_period: int, newton_sweeps: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
     devex_floor: float, devex_reset: float, minor_k: int,
+    regress_tol: float,
     warm: bool = False,
 ):
     """Single LP.  See module docstring for the memory plan.
@@ -472,12 +480,15 @@ def _stream_kernel(
         xB_pre = xB[...]
         below_pre = xB_pre < loB[...] - feas_tol
         above_pre = xB_pre > hiB[...] + feas_tol
-        feasible = jnp.sum((below_pre | above_pre).astype(F32)) == ZERO
-        transition = (phase == 1) & feasible
-        phase = jnp.where(transition, jnp.int32(2), phase)
-        noimp = jnp.where(transition, jnp.int32(0), noimp)
+        feasible_pre = jnp.sum((below_pre | above_pre).astype(F32)) == ZERO
+        # maintained-xB feasibility only TRIGGERS the exact refresh; the
+        # phase flip is confirmed on the refreshed state below (a chip run
+        # at the 25fv47 shape transitioned on drifted feasibility, refreshed
+        # into a still-infeasible exact state, and the phase-1-extended
+        # ratio test then produced a believed-but-false UNBOUNDED)
+        tentative = (phase == 1) & feasible_pre
         do_refresh = (
-            transition
+            tentative
             | (force == 1)
             | (sref >= jnp.int32(refactor_period))
         )
@@ -496,6 +507,25 @@ def _stream_kernel(
         # f64 engine take over from this basis (driver handoff).
         diverged = do_refresh & (tell[0] > jnp.float32(0.5))
         fresh = jnp.where(do_refresh, jnp.int32(1), fresh)
+
+        # ---- phase confirm/regress on the (refreshed ⇒ exact) state ---------
+        # `regress_tol` is the f32 drift floor: exact-recompute residuals at
+        # Netlib scale can exceed feas_tol, so phase 2 tolerates violations
+        # up to it (certification/polish restore exactness at the end), but
+        # beyond it the basis must go back to composite phase-1 pricing —
+        # phase-2 pricing with materially infeasible basics is where the
+        # false-unbounded trap lives.
+        xB_now = xB[...]
+        viol_now = (jnp.maximum(loB[...] - xB_now, ZERO)
+                    + jnp.maximum(xB_now - hiB[...], ZERO))
+        ok_now = jnp.sum(
+            (viol_now > jnp.float32(regress_tol)).astype(F32)
+        ) == ZERO
+        transition = (phase == 1) & do_refresh & ok_now
+        regress = (phase == 2) & do_refresh & ~ok_now
+        phase = jnp.where(transition, jnp.int32(2),
+                          jnp.where(regress, jnp.int32(1), phase))
+        noimp = jnp.where(transition | regress, jnp.int32(0), noimp)
         p1 = phase == 1
 
         # ---- major pricing: one Aᵀ stream ------------------------------------
@@ -805,7 +835,17 @@ def _stream_kernel(
                 basis_smem[r] = q
 
             # ---- minor status/progress accounting ---------------------------
-            believe = fresh == 1
+            # an UNBOUNDED claim additionally requires primal feasibility to
+            # the drift floor: with materially violated basics the extended
+            # ratio test legitimately finds no blocker (rows moving away
+            # from a violated bound never block) without the LP being
+            # unbounded — that state belongs to phase-1 repair (regression)
+            viol_m = (jnp.maximum(loBv - xBv, ZERO)
+                      + jnp.maximum(xBv - hiBv, ZERO))
+            feas_m = jnp.sum(
+                (viol_m > jnp.float32(regress_tol)).astype(F32)
+            ) == ZERO
+            believe = (fresh == 1) & (p1 | feas_m)
             status = jnp.where(
                 found & unbounded & believe,
                 jnp.where(p1, jnp.int32(Status.NUMERICAL),
@@ -902,14 +942,15 @@ def _stream_kernel(
     static_argnames=(
         "slack0", "tile_n", "tile_m", "max_iter", "refactor_period",
         "newton_sweeps", "feas_tol", "opt_tol", "pivot_tol", "bland_after",
-        "devex_floor", "devex_reset", "minor_k", "interpret",
+        "devex_floor", "devex_reset", "minor_k", "regress_tol",
+        "interpret",
     ),
 )
 def stream_kernel_call(
     AT32, b32, c32, lo32, hi32, *warm_args,
     slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
     feas_tol, opt_tol, pivot_tol, bland_after, devex_floor, devex_reset,
-    minor_k, interpret,
+    minor_k, regress_tol, interpret,
 ):
     n, m = AT32.shape
     warm = bool(warm_args)
@@ -920,7 +961,7 @@ def stream_kernel_call(
         newton_sweeps=newton_sweeps, feas_tol=feas_tol, opt_tol=opt_tol,
         pivot_tol=pivot_tol, bland_after=bland_after,
         devex_floor=devex_floor, devex_reset=devex_reset, minor_k=minor_k,
-        warm=warm,
+        regress_tol=regress_tol, warm=warm,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     warm_specs = (
@@ -996,6 +1037,7 @@ def solve_streaming_pallas(
     devex_floor: float = 1e-12,
     devex_reset: float = 1e8,
     minor_k: int = 16,
+    regress_tol: float = 1e-3,
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | None = 8192,
@@ -1096,7 +1138,7 @@ def solve_streaming_pallas(
                 feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
                 bland_after=bland_after, devex_floor=devex_floor,
                 devex_reset=devex_reset, minor_k=minor_k,
-                interpret=interpret,
+                regress_tol=regress_tol, interpret=interpret,
             )
             total_iter += int(out[3][0, 0])
             st = int(out[2][0, 0])

@@ -569,6 +569,16 @@ def _stream_kernel(
         # Under Bland only ONE candidate (the lowest eligible index) is taken:
         # after its pivot any lower-index column may become eligible, so the
         # rule must re-price the full set every pivot to stay anti-cycling.
+        # The lane vectors MUST be re-initialized every body: VMEM scratch is
+        # uninitialized on hardware, and lanes beyond the selected count
+        # would otherwise read as garbage "valid" candidates (chip-measured:
+        # nondeterministic corrupt pivots; interpret mode zeros scratch and
+        # cannot catch it).
+        cand_ids[...] = jnp.full((1, 128), -1, jnp.int32)
+        vstat_cand[...] = jnp.full((1, 128), int(VarStat.FIXED), jnp.int32)
+        d_cand[...] = jnp.zeros((1, 128), F32)
+        wts_cand[...] = jnp.ones((1, 128), F32)
+
         def sel_body(k, sc):
             q_d = lax.argmax(sc[0, :], 0, jnp.int32)
             qk = jnp.where(bland, q_b, q_d)

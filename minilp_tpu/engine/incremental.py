@@ -233,7 +233,11 @@ def _try_streaming_resolve(handle, event: str) -> bool:
             res = solve_streaming_pallas(
                 A, b, c, lo, hi, slack0=nv,
                 max_iter=opts.effective_max_iter(can.M, can.N),
-                refactor_period=max(opts.refactor_period, 32),
+                # the kernel's Newton refresh is its costliest block (HBM-staged
+                # gather + 2 sweeps); SE-weight recompute rides on it.  128
+                # amortizes it with exact candidate updates in between (the
+                # confirm/regress guards absorb the extra f32 drift)
+                refactor_period=max(opts.refactor_period, 128),
                 feas_tol=f32.feas_tol, opt_tol=f32.opt_tol,
                 pivot_tol=f32.pivot_tol,
                 bland_after=max(opts.bland_after, 400),

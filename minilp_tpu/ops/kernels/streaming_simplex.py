@@ -798,38 +798,54 @@ def _stream_kernel(
                 has_cross = ((slope0 < ZERO) & jnp.isfinite(tmax)
                              & (g_at(tmax) >= ZERO))
 
-                def bs(_i, tl_th):
-                    tl, th = tl_th
-                    mid = jnp.float32(0.5) * (tl + th)
-                    g = g_at(mid)
-                    return (jnp.where(g >= ZERO, tl, mid),
-                            jnp.where(g >= ZERO, mid, th))
+                def emit(tl, th):
+                    """Pick the leaving event inside (tl, th] (stability
+                    tie-break: largest |delta|) and write the lane record."""
+                    c1 = (e1_t > tl) & (e1_t <= th)
+                    c2 = (e2_t > tl) & (e2_t <= th)
+                    s1 = jnp.where(c1, jnp.abs(delta), neg_inf)
+                    s2 = jnp.where(c2, jnp.abs(delta), neg_inf)
+                    r1 = lax.argmax(s1[0, :], 0, jnp.int32)
+                    r2 = lax.argmax(s2[0, :], 0, jnp.int32)
+                    use2 = jnp.max(s2) > jnp.max(s1)
+                    r_ls = jnp.where(use2, r2, r1)
+                    t_ls = jnp.where(use2, sel_row(e2_t, r_ls),
+                                     sel_row(e1_t, r_ls))
+                    tgt_ls = jnp.where(use2, sel_row(e2_tgt, r_ls),
+                                       sel_row(e1_tgt, r_ls))
+                    out = jnp.where(lane128 == 0,
+                                    jnp.where(has_cross, ONE, ZERO), ZERO)
+                    out = jnp.where(lane128 == 1, t_ls, out)
+                    out = jnp.where(lane128 == 2, r_ls.astype(F32), out)
+                    out = jnp.where(lane128 == 3, tgt_ls, out)
+                    out = jnp.where(lane128 == 4,
+                                    jnp.where(slope0 < ZERO, ONE, ZERO), out)
+                    lstmp[...] = out
 
-                tl, th = lax.fori_loop(
-                    0, 22, bs,
-                    (jnp.float32(-1.0),
-                     jnp.where(jnp.isfinite(tmax), tmax, ZERO)),
-                )
-                c1 = (e1_t > tl) & (e1_t <= th)
-                c2 = (e2_t > tl) & (e2_t <= th)
-                s1 = jnp.where(c1, jnp.abs(delta), neg_inf)
-                s2 = jnp.where(c2, jnp.abs(delta), neg_inf)
-                r1 = lax.argmax(s1[0, :], 0, jnp.int32)
-                r2 = lax.argmax(s2[0, :], 0, jnp.int32)
-                use2 = jnp.max(s2) > jnp.max(s1)
-                r_ls = jnp.where(use2, r2, r1)
-                t_ls = jnp.where(use2, sel_row(e2_t, r_ls),
-                                 sel_row(e1_t, r_ls))
-                tgt_ls = jnp.where(use2, sel_row(e2_tgt, r_ls),
-                                   sel_row(e1_tgt, r_ls))
-                out = jnp.where(lane128 == 0,
-                                jnp.where(has_cross, ONE, ZERO), ZERO)
-                out = jnp.where(lane128 == 1, t_ls, out)
-                out = jnp.where(lane128 == 2, r_ls.astype(F32), out)
-                out = jnp.where(lane128 == 3, tgt_ls, out)
-                out = jnp.where(lane128 == 4,
-                                jnp.where(slope0 < ZERO, ONE, ZERO), out)
-                lstmp[...] = out
+                # first-breakpoint probe: when the slope already turns
+                # non-negative at the earliest event (degenerate/late phase
+                # 1 — the common case), the crossing IS that event and the
+                # 22-probe search is skipped (chip-measured: the probes cost
+                # ~25% of the 25fv47 wall when run unconditionally)
+                t_min = jnp.minimum(jnp.min(e1_t), jnp.min(e2_t))
+                need = has_cross & (g_at(t_min) < ZERO)
+                emit(jnp.float32(-1.0), t_min)
+
+                @pl.when(need)
+                def _():
+                    def bs(_i, tl_th):
+                        tl, th = tl_th
+                        mid = jnp.float32(0.5) * (tl + th)
+                        g = g_at(mid)
+                        return (jnp.where(g >= ZERO, tl, mid),
+                                jnp.where(g >= ZERO, mid, th))
+
+                    tl, th = lax.fori_loop(
+                        0, 22, bs,
+                        (jnp.float32(-1.0),
+                         jnp.where(jnp.isfinite(tmax), tmax, ZERO)),
+                    )
+                    emit(tl, th)
 
             lsv = lstmp[...]
             ls_active = jnp.sum(jnp.where(lane128 == 4, lsv, ZERO)) > ZERO

@@ -84,6 +84,55 @@ def ratio_test(
 
     t_rows = jnp.min(ratio)
 
+    if phase1:
+        # ---- long-step extension (inert when the basis is feasible) ------
+        # The phase-1 objective along the ray is piecewise-linear CONVEX;
+        # instead of stopping at the first breakpoint (one violation
+        # repaired per pivot) walk the sorted breakpoints accumulating the
+        # slope and stop at the event where it turns non-negative — one
+        # pivot crosses (and repairs) many violated rows.  slope0 = σ·δ is
+        # 0 on a feasible basis, so the override self-disables in phase 2 /
+        # after feasibility; Bland mode keeps the exact first-breakpoint
+        # rule (anti-cycling needs it).  Mirrored verbatim in
+        # parallel/sharded_engine.py (pivot-count parity gates).
+        sigma = jnp.where(below, -1.0, jnp.where(above, 1.0, 0.0)).astype(dtype)
+        slope0 = jnp.sum(sigma * delta)
+        e1_ok = (up & below) | (dn & above)
+        e1_tgt = jnp.where(up, loB, hiB)
+        e1_w = jnp.abs(jnp.where(e1_ok, delta, 0.0))
+        e1_t = jnp.where(
+            e1_ok, jnp.maximum((e1_tgt - xB) / safe_delta, 0.0), inf
+        )
+        e2_ok = ((up & ~above & jnp.isfinite(hiB))
+                 | (dn & ~below & jnp.isfinite(loB)))
+        e2_tgt = jnp.where(up, hiB, loB)
+        e2_w = jnp.abs(jnp.where(e2_ok, delta, 0.0))
+        e2_t = jnp.where(
+            e2_ok, jnp.maximum((e2_tgt - xB) / safe_delta, 0.0), inf
+        )
+        ev_t = jnp.concatenate([e1_t, e2_t])
+        ev_w = jnp.concatenate([e1_w, e2_w])
+        ev_tgt = jnp.concatenate([e1_tgt, e2_tgt])
+        rows = jnp.arange(M, dtype=jnp.int32)
+        ev_row = jnp.concatenate([rows, rows])
+        order = jnp.argsort(ev_t, stable=True)
+        csl = slope0 + jnp.cumsum(ev_w[order])
+        crossed = (csl >= 0.0) & jnp.isfinite(ev_t[order])
+        k = jnp.argmax(crossed)
+        has_cross = (slope0 < 0.0) & jnp.any(crossed)
+        sel = order[k]
+        use_ls = has_cross & ~bland
+        t_ls = ev_t[sel]
+        r_ls = ev_row[sel]
+        tgt_ls = ev_tgt[sel]
+        # no crossing with a strictly negative slope ⇒ infeasibility
+        # decreases forever along the ray (numerically impossible in exact
+        # arithmetic): surface as "nothing blocks" like the textbook rule
+        t_rows = jnp.where(
+            (slope0 < 0.0) & ~bland,
+            jnp.where(has_cross, t_ls, inf), t_rows,
+        )
+
     # Harris two-pass: pass 1 computes the maximal step under bounds relaxed by
     # the feasibility tolerance (each blocking bound may be overshot by δ);
     # pass 2 picks the largest |pivot| among rows whose strict ratio fits under
@@ -108,4 +157,13 @@ def ratio_test(
     flip = rng_q <= t_rows  # prefer the (cheaper) flip on exact ties
     unbounded = ~jnp.isfinite(jnp.minimum(t_rows, rng_q))
     t = jnp.where(flip, rng_q, ratio[r])
-    return RatioResult(flip=flip & ~unbounded, unbounded=unbounded, r=r, t=t, tgt_r=tgt[r])
+    tgt_r = tgt[r]
+    if phase1:
+        # long-step override: the leaving row/step/landing bound come from
+        # the slope-crossing event (a below-row can cross THROUGH lo and
+        # leave at hi, which tgt[r] cannot express)
+        r = jnp.where(use_ls, r_ls, r)
+        t = jnp.where(flip, rng_q, jnp.where(use_ls, t_ls, t))
+        tgt_r = jnp.where(use_ls, tgt_ls, tgt_r)
+    return RatioResult(flip=flip & ~unbounded, unbounded=unbounded, r=r, t=t,
+                       tgt_r=tgt_r)

@@ -289,6 +289,49 @@ def solve_canonical_sharded(
             )
             ratio = jnp.maximum(ratio, 0.0)
             t_rows = jnp.min(ratio)
+
+            # long-step phase-1 extension — verbatim mirror of
+            # ops/ratio.py's (the replicated row-sized data makes it
+            # shard-invariant; the niter-parity gates depend on the mirror)
+            safe_delta = jnp.where(up | dn, delta, 1.0)
+            inf_ = jnp.asarray(jnp.inf, dtype=w.dtype)
+            sigma_ls = jnp.where(
+                below, -1.0, jnp.where(above, 1.0, 0.0)
+            ).astype(w.dtype)
+            slope0 = jnp.sum(sigma_ls * delta)
+            e1_ok = (up & below) | (dn & above)
+            e1_tgt = jnp.where(up, loB2, hiB2)
+            e1_w = jnp.abs(jnp.where(e1_ok, delta, 0.0))
+            e1_t = jnp.where(
+                e1_ok, jnp.maximum((e1_tgt - xB2) / safe_delta, 0.0), inf_
+            )
+            e2_ok = ((up & ~above & jnp.isfinite(hiB2))
+                     | (dn & ~below & jnp.isfinite(loB2)))
+            e2_tgt = jnp.where(up, hiB2, loB2)
+            e2_w = jnp.abs(jnp.where(e2_ok, delta, 0.0))
+            e2_t = jnp.where(
+                e2_ok, jnp.maximum((e2_tgt - xB2) / safe_delta, 0.0), inf_
+            )
+            ev_t = jnp.concatenate([e1_t, e2_t])
+            ev_w = jnp.concatenate([e1_w, e2_w])
+            ev_tgt = jnp.concatenate([e1_tgt, e2_tgt])
+            rows_ls = jnp.arange(xB2.shape[0], dtype=jnp.int32)
+            ev_row = jnp.concatenate([rows_ls, rows_ls])
+            order = jnp.argsort(ev_t, stable=True)
+            csl = slope0 + jnp.cumsum(ev_w[order])
+            crossed = (csl >= 0.0) & jnp.isfinite(ev_t[order])
+            k_ls = jnp.argmax(crossed)
+            has_cross = (slope0 < 0.0) & jnp.any(crossed)
+            sel_ls = order[k_ls]
+            use_ls = has_cross & ~bland
+            t_ls = ev_t[sel_ls]
+            r_ls = ev_row[sel_ls]
+            tgt_ls = ev_tgt[sel_ls]
+            t_rows = jnp.where(
+                (slope0 < 0.0) & ~bland,
+                jnp.where(has_cross, t_ls, inf_), t_rows,
+            )
+
             tie = ratio <= t_rows * (1 + opts.ratio_tie_rel) + opts.ratio_tie_abs
             r_stab = jnp.argmax(jnp.where(tie, jnp.abs(w), -jnp.inf)).astype(jnp.int32)
             big = jnp.int32(jnp.iinfo(jnp.int32).max)
@@ -298,6 +341,8 @@ def solve_canonical_sharded(
             flip = rng_q <= t_rows
             unbounded = ~jnp.isfinite(jnp.minimum(t_rows, rng_q))
             t = jnp.where(flip, rng_q, ratio[r])
+            r = jnp.where(use_ls, r_ls, r)
+            t = jnp.where(flip, rng_q, jnp.where(use_ls, t_ls, t))
 
             do_pivot = found & ~flip & ~unbounded
             do_flip = found & flip & ~unbounded
@@ -308,9 +353,10 @@ def solve_canonical_sharded(
                 jnp.where(vq == VarStat.AT_UPPER, hi_q, 0.0),
             )
             lv = basis[r]
+            tgt_r = jnp.where(use_ls, tgt_ls, tgt[r])
             lstat = jnp.where(
                 loB2[r] == hiB2[r], jnp.int8(VarStat.FIXED),
-                jnp.where(tgt[r] == hiB2[r], jnp.int8(VarStat.AT_UPPER),
+                jnp.where(tgt_r == hiB2[r], jnp.int8(VarStat.AT_UPPER),
                           jnp.int8(VarStat.AT_LOWER)),
             )
             xB_flip = xB2 + t * delta

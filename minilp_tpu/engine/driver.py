@@ -247,9 +247,30 @@ def _solve_problem_pdhg(problem: "api.Problem") -> "api.Solution":
             from jax.experimental import sparse as jsparse
 
             Ab = jsparse.BCOO.fromdense(jnp.asarray(can.A))
-            pstate = solve_pdhg_sparse(Ab, *args, opts=opts)
+            solver, amat = solve_pdhg_sparse, Ab
         else:
-            pstate = solve_pdhg(jnp.asarray(can.A), *args, opts=opts)
+            solver, amat = solve_pdhg, jnp.asarray(can.A)
+        if jax.default_backend() == "tpu":
+            # CHUNKED launches: a single long while_loop execution FAULTS
+            # this machine's TPU worker (measured: a 120k-iteration PDHG
+            # run at maros shape crashed it after ~3 min — the same
+            # watchdog the streaming kernel chunk-launches around).  The
+            # state re-enters warm; stop_at is a traced cap so every chunk
+            # reuses one compiled executable.
+            chunk = 20_000
+            pstate = None
+            done = 0
+            while True:
+                cap = min(done + chunk, opts.pdhg_max_iter)
+                pstate = solver(amat, *args, opts=opts, state0=pstate,
+                                stop_at=jnp.int32(cap))
+                np.asarray(pstate.err)  # force completion (axon quirk)
+                done = int(pstate.niter)
+                if (int(pstate.status) != int(Status.MAX_ITER)
+                        or done >= opts.pdhg_max_iter):
+                    break
+        else:
+            pstate = solver(amat, *args, opts=opts)
         status = int(pstate.status)
     if records.enabled():
         records.emit(records.SolveRecord(

@@ -264,7 +264,8 @@ def _certificates(A, AT, dx_s, dy_s, b, c, lo, hi, dr, dc, tol,
 
 
 def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0,
-              rr: RowReduce = LOCAL_ROWS):
+              rr: RowReduce = LOCAL_ROWS, state0: "PdhgState | None" = None,
+              stop_at=None):
     """The restarted-average adaptive-weight PDHG loop (scaled space).
 
     `A`/`AT` may be dense arrays, BCOO matrices, or row-sharded operator
@@ -374,18 +375,34 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0,
             niter=niter, status=status, err=err_best,
         )
 
-    st0 = PdhgState(
-        x=x0, y=y0, x_sum=jnp.zeros_like(x0), y_sum=jnp.zeros_like(y0),
-        x_rst=x0, y_rst=y0,
-        omega=jnp.asarray(omega0, dtype=dtype),
-        inner=jnp.array(0.0, dtype=dtype),
-        last_err=jnp.array(jnp.inf, dtype=dtype),
-        niter=jnp.int32(0), status=jnp.int32(Status.RUNNING),
-        err=jnp.array(jnp.inf, dtype=dtype),
-    )
+    if state0 is None:
+        st0 = PdhgState(
+            x=x0, y=y0, x_sum=jnp.zeros_like(x0), y_sum=jnp.zeros_like(y0),
+            x_rst=x0, y_rst=y0,
+            omega=jnp.asarray(omega0, dtype=dtype),
+            inner=jnp.array(0.0, dtype=dtype),
+            last_err=jnp.array(jnp.inf, dtype=dtype),
+            niter=jnp.int32(0), status=jnp.int32(Status.RUNNING),
+            err=jnp.array(jnp.inf, dtype=dtype),
+        )
+    else:
+        # warm re-entry (chunked execution): the handed-in state is in the
+        # ORIGINAL space — rescale the iterates; x_sum/y_sum stayed scaled.
+        # A chunk-capped launch exits MAX_ITER; that is not terminal here.
+        st0 = state0._replace(
+            x=state0.x / dc, y=state0.y / dr,
+            x_rst=state0.x_rst / dc, y_rst=state0.y_rst / dr,
+            status=jnp.where(
+                state0.status == Status.MAX_ITER,
+                jnp.int32(Status.RUNNING), state0.status,
+            ),
+        )
+    hard_stop = (jnp.int32(opts.pdhg_max_iter) if stop_at is None
+                 else jnp.minimum(jnp.int32(stop_at),
+                                  jnp.int32(opts.pdhg_max_iter)))
 
     def cond(st: PdhgState):
-        return (st.status == Status.RUNNING) & (st.niter < opts.pdhg_max_iter)
+        return (st.status == Status.RUNNING) & (st.niter < hard_stop)
 
     st = lax.while_loop(cond, body, st0)
     st = st._replace(
@@ -415,6 +432,8 @@ def solve_pdhg(
     lo: jnp.ndarray,
     hi: jnp.ndarray,
     opts: SolverOptions,
+    state0: "PdhgState | None" = None,
+    stop_at=None,
 ) -> PdhgState:
     """Dense-path PDHG: Ruiz-equilibrate, then run to relative KKT ≤ feas_tol.
 
@@ -427,7 +446,8 @@ def solve_pdhg(
     los = lo / dc
     his = hi / dc
     om0 = _omega0(bs, cs, dr, dc, opts)
-    return _run_pdhg(As, As.T, bs, cs, los, his, dr, dc, opts, om0)
+    return _run_pdhg(As, As.T, bs, cs, los, his, dr, dc, opts, om0,
+                     state0=state0, stop_at=stop_at)
 
 
 @partial(jax.jit, static_argnames=("opts",))
@@ -438,6 +458,8 @@ def solve_pdhg_sparse(
     lo: jnp.ndarray,
     hi: jnp.ndarray,
     opts: SolverOptions,
+    state0: "PdhgState | None" = None,
+    stop_at=None,
 ) -> PdhgState:
     """Sparse-path PDHG over a BCOO constraint matrix.
 
@@ -460,4 +482,5 @@ def solve_pdhg_sparse(
     los = lo / dc
     his = hi / dc
     om0 = _omega0(bs, cs, dr, dc, opts)
-    return _run_pdhg(As, ATs, bs, cs, los, his, dr, dc, opts, om0)
+    return _run_pdhg(As, ATs, bs, cs, los, his, dr, dc, opts, om0,
+                     state0=state0, stop_at=stop_at)

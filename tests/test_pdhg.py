@@ -217,3 +217,39 @@ def test_pdhg_batched_vmap():
                           opts=SolverOptions())
     pdhg_obj = np.einsum("bn,bn->b", np.asarray(c), np.asarray(out.x))
     np.testing.assert_allclose(pdhg_obj, np.asarray(simplex.obj), rtol=1e-4, atol=1e-4)
+
+
+def test_pdhg_chunked_launches_match_single():
+    """Warm re-entry through `state0`/`stop_at` (the TPU chunked-launch
+    path — a single long while_loop execution faults this machine's TPU
+    worker) reproduces the single-launch trajectory: the state round-trips
+    through the original-space rescale exactly up to f64 rounding."""
+    import jax.numpy as jnp
+
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.engine.pdhg import solve_pdhg
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.status import Status
+
+    from .oracle import random_problem
+
+    rng = np.random.default_rng(11)
+    prob = random_problem(rng, nv=40, m=24, density=0.6,
+                          frac_free=0.0, frac_boxed=1.0, frac_fixed=0.0)
+    can = canonicalize(prob, dtype=np.float64)
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-7, pdhg_max_iter=200_000)
+    args = (jnp.asarray(can.A), jnp.asarray(can.b), jnp.asarray(can.c),
+            jnp.asarray(can.lo), jnp.asarray(can.hi))
+    single = solve_pdhg(*args, opts=opts)
+    st = None
+    done = 0
+    while True:
+        cap = min(done + 700, opts.pdhg_max_iter)
+        st = solve_pdhg(*args, opts=opts, state0=st, stop_at=jnp.int32(cap))
+        done = int(st.niter)
+        if int(st.status) != int(Status.MAX_ITER) or done >= opts.pdhg_max_iter:
+            break
+    assert int(st.status) == int(single.status) == int(Status.OPTIMAL)
+    obj_s = float(can.c @ np.asarray(single.x))
+    obj_c = float(can.c @ np.asarray(st.x))
+    assert abs(obj_c - obj_s) <= 1e-6 * (1 + abs(obj_s))

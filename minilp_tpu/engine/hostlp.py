@@ -46,6 +46,7 @@ class HostResult(NamedTuple):
     vstat: np.ndarray   # (N,) int8
     niter: int
     obj: float          # exact canonical objective at the final state
+    bland_iters: int = 0  # pivots taken under the Bland anti-cycling rule
 
 
 class BasisLU:
@@ -147,13 +148,21 @@ def solve_host_sparse(
     tie_rel = float(opts.ratio_tie_rel)
     tie_abs = float(opts.ratio_tie_abs)
     use_devex = opts.pricing == "devex"
-    refactor_period = max(int(opts.refactor_period), 16)
-    if M >= 1024:
-        # SuperLU refactorization dominates at scale (measured ~115 ms at
-        # m=1600 on a filled basis vs ~0.5 ms per eta-file solve): amortize
-        # over a longer eta file — 128 f64 etas are numerically benign (the
-        # reference's eta-file threshold is of the same order).
-        refactor_period = max(refactor_period, 128)
+    default_period = SolverOptions.__dataclass_fields__["refactor_period"].default
+    if int(opts.refactor_period) != int(default_period):
+        # an explicitly-set period is respected verbatim — a user fighting an
+        # ill-conditioned instance must be able to tighten the eta-file
+        # window (ADVICE r3)
+        refactor_period = max(int(opts.refactor_period), 1)
+    else:
+        refactor_period = max(int(default_period), 16)
+        if M >= 1024:
+            # SuperLU refactorization dominates at scale (measured ~115 ms at
+            # m=1600 on a filled basis vs ~0.5 ms per eta-file solve):
+            # amortize over a longer eta file — 128 f64 etas are numerically
+            # benign (the reference's eta-file threshold is of the same
+            # order).
+            refactor_period = max(refactor_period, 128)
     idx_n = np.arange(N, dtype=np.int64)
 
     try:
@@ -192,6 +201,7 @@ def solve_host_sparse(
 
     status = int(Status.RUNNING)
     niter = 0
+    bland_iters = 0
     phase = 1
     noimprove = 0
     best = np.inf
@@ -205,16 +215,38 @@ def solve_host_sparse(
         above = xB > hiB + feas_tol
         feasible = not (below.any() or above.any())
 
+        # ---- phase transitions (confirmed on the exact state only) ----------
+        # The maintained xB drifts between refactorizations (eta-file error +
+        # Harris's <=feas_tol per-pivot overshoot).  Mirroring the streaming
+        # kernel's confirm/regress guards: a 1->2 transition is only taken
+        # when the *refreshed exact* xB is feasible, and a phase-2 state whose
+        # exact xB violates bounds beyond feas_tol regresses to phase 1 —
+        # otherwise phase-2 pricing on infeasible basics can manufacture a
+        # believed-false UNBOUNDED (ADVICE r3, medium).
         if phase == 1 and feasible:
-            if not refresh():
-                status = int(Status.NUMERICAL)
-                break
+            if not fresh:
+                if not refresh():
+                    status = int(Status.NUMERICAL)
+                    break
+                fresh = True
+                since_refresh = 0
+                continue  # re-check feasibility on the exact state
             phase = 2
             noimprove = 0
             best = np.inf
-            fresh = True
-            since_refresh = 0
             continue
+        if phase == 2 and not feasible:
+            if not fresh:
+                if not refresh():
+                    status = int(Status.NUMERICAL)
+                    break
+                fresh = True
+                since_refresh = 0
+                continue  # drift may vanish on the exact state
+            phase = 1
+            noimprove = 0
+            best = np.inf
+            # fall through: price phase-1 costs this iteration
 
         # lo=-inf / hi=+inf give -inf in the difference; max(·, 0) absorbs them
         infeas = (np.maximum(loB - xB, 0.0).sum()
@@ -352,6 +384,8 @@ def solve_host_sparse(
             break
 
         niter += 1
+        if bland:
+            bland_iters += 1
         fresh = False
         if flip:
             t = rng_q
@@ -450,4 +484,260 @@ def solve_host_sparse(
         vstat=vstat.astype(np.int8),
         niter=niter,
         obj=float(c @ x),
+        bland_iters=bland_iters,
+    )
+
+
+def solve_host_dual(
+    A: np.ndarray,
+    b: np.ndarray,
+    c: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    basis0: np.ndarray,
+    vstat0: np.ndarray,
+    *,
+    opts: SolverOptions,
+    max_iter: Optional[int] = None,
+) -> Optional[HostResult]:
+    """Exact-f64 sparse DUAL simplex from a dual-feasible basis.
+
+    The reference restores feasibility after every edit with the dual method
+    (`Solver::restore_feasibility`, `src/solver.rs` [CODE]): after
+    `add_constraint` / `fix_var` / a Gomory cut the warm basis is dual
+    feasible but primal infeasible, and dual pivots drive the violated
+    basics out.  This mirrors `engine/dual.py` one-for-one — exact dual
+    steepest edge leaving-row choice (violation² / ‖B⁻ᵀe_r‖², computed
+    sparsely only for violated rows), Harris two-pass dual ratio test with
+    the same tie window and largest-|α| stabilization, entering-variable
+    bound flips, Bland fallback by lowest index — over the sparse
+    `BasisLU` + eta file instead of the dense explicit inverse, so the
+    pivot sequences agree (gated by tests/test_hostlp.py).
+
+    Returns None when the starting basis is singular or NOT dual feasible
+    beyond opt_tol (the caller falls back to the primal host loop, which
+    handles any start).
+    """
+    M, N = A.shape
+    if max_iter is None:
+        max_iter = opts.effective_max_iter(M, N)
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    lo = np.asarray(lo, dtype=np.float64)
+    hi = np.asarray(hi, dtype=np.float64)
+    A_csc = sp.csc_matrix(A)
+    AT_csr = A_csc.T.tocsr()
+
+    basis = np.array(basis0, dtype=np.int64, copy=True)
+    vstat = np.array(vstat0, dtype=np.int64, copy=True)
+    feas_tol = float(opts.feas_tol)
+    opt_tol = float(opts.opt_tol)
+    pivot_tol = float(opts.pivot_tol)
+    tie_rel = float(opts.ratio_tie_rel)
+    tie_abs = float(opts.ratio_tie_abs)
+    default_period = SolverOptions.__dataclass_fields__["refactor_period"].default
+    if int(opts.refactor_period) != int(default_period):
+        refactor_period = max(int(opts.refactor_period), 1)
+    else:
+        refactor_period = max(int(default_period), 16)
+        if M >= 1024:
+            refactor_period = max(refactor_period, 128)
+    idx_n = np.arange(N, dtype=np.int64)
+
+    lu: Optional[BasisLU] = None
+    d = np.zeros(N)
+    xB = np.zeros(M)
+    obj = 0.0
+
+    def col(q: int) -> np.ndarray:
+        s0, s1 = A_csc.indptr[q], A_csc.indptr[q + 1]
+        out = np.zeros(M)
+        out[A_csc.indices[s0:s1]] = A_csc.data[s0:s1]
+        return out
+
+    def refresh() -> bool:
+        nonlocal lu, xB, d, obj
+        try:
+            lu = BasisLU(A_csc, basis)
+        except (RuntimeError, ValueError):
+            return False
+        xN = _nonbasic_x(vstat, lo, hi)
+        xB = lu.ftran(b - A_csc @ xN)
+        y = lu.btran(c[basis])
+        d = c - AT_csr @ y
+        d[vstat == _BASIC] = 0.0
+        obj = float(c[basis] @ xB + c @ xN)
+        return True
+
+    if not refresh():
+        return None
+
+    # dual feasibility precondition: nonbasics' reduced costs on their
+    # feasible side (AT_LOWER ⇒ d ≥ −opt_tol, AT_UPPER ⇒ d ≤ opt_tol,
+    # FREE ⇒ |d| ≤ opt_tol; FIXED unconstrained)
+    bad = (((vstat == _AT_LOWER) & (d < -opt_tol))
+           | ((vstat == _AT_UPPER) & (d > opt_tol))
+           | ((vstat == _FREE) & (np.abs(d) > opt_tol)))
+    if bad.any():
+        return None
+
+    status = int(Status.RUNNING)
+    niter = 0
+    bland_iters = 0
+    noimprove = 0
+    best = np.inf
+    fresh = True
+    since_refresh = 0
+
+    while status == int(Status.RUNNING) and niter < max_iter:
+        loB = lo[basis]
+        hiB = hi[basis]
+        viol_lo = np.maximum(loB - xB, 0.0)
+        viol_hi = np.maximum(xB - hiB, 0.0)
+        viol = viol_lo + viol_hi
+        max_viol = float(viol.max()) if M else 0.0
+
+        if max_viol <= feas_tol:
+            if not fresh:
+                if not refresh():
+                    status = int(Status.NUMERICAL)
+                    break
+                fresh = True
+                since_refresh = 0
+                continue
+            status = int(Status.OPTIMAL)
+            break
+
+        bland = noimprove >= opts.bland_after
+
+        # -- leaving row: exact dual steepest edge over the violated rows ----
+        # ‖B⁻ᵀe_r‖² needs one sparse BTRAN per violated row — the violated
+        # set is small on the warm re-solve path (often just the new cut
+        # row), so this is exact DSE at eta-file cost (dense mirror:
+        # engine/dual.py computes it as explicit-inverse row norms).
+        vrows = np.nonzero(viol > 0.0)[0]
+        r = -1
+        r_score = -np.inf
+        rho_r: Optional[np.ndarray] = None
+        for rr in vrows:
+            e_r = np.zeros(M)
+            e_r[rr] = 1.0
+            rho = lu.btran(e_r)
+            beta = max(float(rho @ rho), 1e-12)
+            score = viol[rr] * viol[rr] / beta
+            if score > r_score:  # strict > = lowest-index tie-break
+                r_score = score
+                r = int(rr)
+                rho_r = rho
+        e = 1.0 if viol_lo[r] > 0 else -1.0
+        target = loB[r] if e > 0 else hiB[r]
+
+        # -- pivot row α = (B⁻ᵀe_r)ᵀ A ---------------------------------------
+        alpha = AT_csr @ rho_r
+        at = e * alpha
+        nb_lo = vstat == _AT_LOWER
+        nb_hi = vstat == _AT_UPPER
+        free = vstat == _FREE
+        elig = ((nb_lo & (at < -pivot_tol))
+                | (nb_hi & (at > pivot_tol))
+                | (free & (np.abs(at) > pivot_tol)))
+
+        if not elig.any():
+            if not fresh:
+                if not refresh():
+                    status = int(Status.NUMERICAL)
+                    break
+                fresh = True
+                since_refresh = 0
+                continue
+            # dual unbounded ⇒ primal infeasible.  The discovering iteration
+            # counts (engine/dual.py increments niter whenever max_viol >
+            # feas_tol, entering column or not — the sequence gate matches
+            # counts exactly).
+            niter += 1
+            status = int(Status.INFEASIBLE)
+            break
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            theta = np.where(elig, np.abs(d) / np.abs(alpha), np.inf)
+            relaxed = np.where(
+                elig, (np.abs(d) + opt_tol) / np.abs(alpha), np.inf
+            )
+        theta_min = float(theta.min())
+        t_relaxed = float(relaxed.min())
+        tie = ((theta <= t_relaxed)
+               | (theta <= theta_min * (1.0 + tie_rel) + tie_abs)) & elig
+        if bland:
+            q = int(idx_n[tie][0])
+        else:
+            q = int(np.argmax(np.where(tie, np.abs(alpha), -np.inf)))
+
+        dq_step = (xB[r] - target) / alpha[q]
+        w = lu.ftran(col(q))
+        niter += 1
+        if bland:
+            bland_iters += 1
+        fresh = False
+
+        rng_q = hi[q] - lo[q]
+        if rng_q <= abs(dq_step):
+            # bound flip: the entering variable's own opposite bound blocks
+            # first; basis, inverse and reduced costs stay put and the
+            # violation at r strictly shrinks
+            step_f = float(np.sign(dq_step) * rng_q)
+            xB = xB - step_f * w
+            vstat[q] = _AT_UPPER if vstat[q] == _AT_LOWER else _AT_LOWER
+            obj += d[q] * step_f
+        else:
+            if vstat[q] in (_AT_LOWER, _FIXED):
+                enter_base = lo[q]
+            elif vstat[q] == _AT_UPPER:
+                enter_base = hi[q]
+            else:
+                enter_base = 0.0
+            lv = int(basis[r])
+            lstat = (_FIXED if loB[r] == hiB[r]
+                     else (_AT_LOWER if e > 0 else _AT_UPPER))
+            dq_old = float(d[q])
+            xB = xB - dq_step * w
+            xB[r] = enter_base + dq_step
+            basis[r] = q
+            vstat[lv] = lstat
+            vstat[q] = _BASIC
+            delta_dual = dq_old / alpha[q]
+            d = d - delta_dual * alpha
+            d[q] = 0.0
+            d[lv] = -delta_dual
+            d[vstat == _BASIC] = 0.0
+            obj += dq_old * dq_step
+            lu.update(w, r)
+
+        since_refresh += 1
+        if since_refresh >= refactor_period and status == int(Status.RUNNING):
+            if not refresh():
+                status = int(Status.NUMERICAL)
+                break
+            fresh = True
+            since_refresh = 0
+
+        eps = 1e-10 * (1.0 + (abs(best) if np.isfinite(best) else 0.0))
+        if max_viol < best - eps:
+            noimprove = 0
+        else:
+            noimprove += 1
+        best = min(best, max_viol)
+
+    if status == int(Status.RUNNING):
+        status = int(Status.MAX_ITER)
+    xN = _nonbasic_x(vstat, lo, hi)
+    x = np.array(xN)
+    x[basis] = xB
+    return HostResult(
+        status=status,
+        basis=basis.astype(np.int32),
+        vstat=vstat.astype(np.int8),
+        niter=niter,
+        obj=float(c @ x),
+        bland_iters=bland_iters,
     )

@@ -101,7 +101,7 @@ def _exact_host_inverse(can, basis) -> jnp.ndarray:
     return jnp.asarray(np.linalg.inv(B))
 
 
-def _try_host_resolve(handle, event: str) -> bool:
+def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
     """Warm re-solve on the HOST sparse engine (engine/hostlp.py) — the
     default incremental path.
 
@@ -112,22 +112,45 @@ def _try_host_resolve(handle, event: str) -> bool:
     cost is milliseconds for the same reason [API].  Exact f64 terminal
     claims (INFEASIBLE/UNBOUNDED included) are trusted directly; None or a
     non-terminal outcome falls through to the device/XLA paths.
+
+    With `prefer_dual` (the add_constraint/fix_var/Gomory events), the host
+    DUAL simplex runs first — the reference's `restore_feasibility` re-solve
+    semantics (`src/solver.rs` [CODE]): the freshly-cut basis is dual
+    feasible and primal infeasible, the exact state the dual method repairs
+    without phase-1 composite pricing.  A None (singular or dual-infeasible
+    start) or non-terminal outcome falls back to the primal two-phase loop.
     """
     can = handle.can
     opts = handle.opts
     if opts.dtype != "float64":
         return False
+    if opts.use_megakernel == "always" or opts.use_streaming == "always":
+        # the user explicitly forced a device kernel path; the host-first
+        # shortcut must not silently bypass it (ADVICE r3)
+        return False
     from . import hostlp
 
+    terminal = (int(Status.OPTIMAL), int(Status.INFEASIBLE),
+                int(Status.UNBOUNDED))
     with records.timed() as t:
-        res = hostlp.solve_host_sparse(
-            can.A, can.b, can.c, can.lo, can.hi,
-            np.asarray(handle.state.basis), np.asarray(handle.state.vstat),
-            opts=opts,
-        )
-        if res is None or int(res.status) not in (
-            int(Status.OPTIMAL), int(Status.INFEASIBLE), int(Status.UNBOUNDED)
-        ):
+        res = None
+        if prefer_dual:
+            res = hostlp.solve_host_dual(
+                can.A, can.b, can.c, can.lo, can.hi,
+                np.asarray(handle.state.basis),
+                np.asarray(handle.state.vstat),
+                opts=opts,
+            )
+            if res is not None and int(res.status) not in terminal:
+                res = None
+        if res is None:
+            res = hostlp.solve_host_sparse(
+                can.A, can.b, can.c, can.lo, can.hi,
+                np.asarray(handle.state.basis),
+                np.asarray(handle.state.vstat),
+                opts=opts,
+            )
+        if res is None or int(res.status) not in terminal:
             return False
         state = (
             _driver._state_from_certified_basis(
@@ -276,7 +299,7 @@ def _try_streaming_resolve(handle, event: str) -> bool:
 
 
 def _run_dual_resolve(handle) -> None:
-    if _try_host_resolve(handle, "dual_resolve"):
+    if _try_host_resolve(handle, "dual_resolve", prefer_dual=True):
         return
     if _try_megakernel_resolve(handle, "dual_resolve"):
         return

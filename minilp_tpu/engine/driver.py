@@ -9,6 +9,7 @@ bucket + options (shape bucketing per SURVEY.md §8 "Hard parts" #5).
 
 from __future__ import annotations
 
+import time
 from typing import Dict, List, Tuple
 
 import jax
@@ -316,6 +317,9 @@ def _state_from_certified_basis(
     One host LU: the handle's incremental API needs (Binv, xB, d, obj)
     consistent with the basis; everything follows from the combinatorial
     state.  Returns None on a singular basis (caller falls back)."""
+    from ..utils import profiling
+
+    t_rebuild = time.perf_counter()
     A = can.A.astype(np.float64)
     if can.M >= _SPARSE_HOST_M:
         # sparse LU + M triangular solve pairs beats dense O(m³) inversion
@@ -342,6 +346,7 @@ def _state_from_certified_basis(
     d[vstat == int(VarStat.BASIC)] = 0.0
     obj = float(can.c[basis] @ xB + can.c @ xN)
     dtype = jnp.float64 if opts.dtype == "float64" else jnp.float32
+    profiling.record_stage("state_rebuild_s", time.perf_counter() - t_rebuild)
     return SimplexState(
         basis=jnp.asarray(basis, dtype=jnp.int32),
         vstat=jnp.asarray(vstat, dtype=jnp.int8),
@@ -394,10 +399,12 @@ def _host_polish_from_basis(
     # scale this is ~ms per exact pivot vs the dense engine's ~100 ms; the
     # dense XLA CPU path below remains the fallback for singular/odd cases.
     from . import hostlp
+    from ..utils import profiling
 
-    res = hostlp.solve_host_sparse(
-        can.A, can.b, can.c, can.lo, can.hi, basis, vstat, opts=opts,
-    )
+    with profiling.stage("host_polish_s"):
+        res = hostlp.solve_host_sparse(
+            can.A, can.b, can.c, can.lo, can.hi, basis, vstat, opts=opts,
+        )
     if res is not None and int(res.status) in terminal_ok:
         state = _state_from_certified_basis(
             can, res.basis, res.vstat, niter0 + res.niter, opts
@@ -721,6 +728,30 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
         # worker faults at some shapes); on CPU the dense f64 XLA engine is
         # O(m·n) dense per pivot — measured >50 min at maros scale, vs
         # minutes for sparse FTRAN/BTRAN.
+        state = None
+        if opts.crossover != "never":
+            # PDHG → simplex crossover first: a cold slack-basis start at
+            # maros scale prices ~88k exact pivots (~50 min on this CPU);
+            # identifying the basis from a moderate-accuracy first-order
+            # solve cuts that to a warm polish (engine/crossover.py).
+            from .crossover import solve_cold_crossover
+
+            with records.timed() as t:
+                res = solve_cold_crossover(can, opts)
+            if res is not None:
+                status = int(res.status)
+                state = _state_from_certified_basis(
+                    can, res.basis, res.vstat, res.niter, opts
+                )
+                if state is not None and status != int(Status.OPTIMAL):
+                    state = state._replace(status=jnp.int32(status))
+                if state is not None:
+                    _emit_record("cold_solve_crossover", can, state, status,
+                                 t.wall_s, opts)
+                    _raise_for_status(status)
+                    handle = EngineHandle(can, state, problem, opts)
+                    handle.certify()
+                    return api.Solution(handle, user_problem)
         with records.timed() as t:
             state = _host_polish_from_basis(
                 can, np.asarray(can.basis0), np.asarray(can.vstat0), opts,
@@ -760,7 +791,21 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
     # Opportunistic certification for every dtype: one host f64 solve against
     # the final basis; when it passes, exact values are served (and it guards
     # against approximate device arithmetic — TPU f64 is emulated).
-    handle.certify()
+    if not handle.certify() and status == int(Status.OPTIMAL):
+        # An OPTIMAL claim that fails exact certification is a drifted
+        # stop (measured on ill-conditioned instances: cond(B) ~ 1e12
+        # defeats the Newton-maintained inverse and the engine prices no
+        # column a few exact pivots early — the adversarial gate caught a
+        # 1e-2 relative objective error returned uncertified).  Repair with
+        # exact host pivots from the claimed basis instead of serving the
+        # drifted vertex.
+        polished = _host_polish_from_basis(
+            can, np.asarray(state.basis), np.asarray(state.vstat), opts,
+            niter0=int(state.niter),
+        )
+        if polished is not None:
+            handle = EngineHandle(can, polished, problem, opts)
+            handle.certify()
     return api.Solution(handle, user_problem)
 
 

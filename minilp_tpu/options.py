@@ -115,6 +115,17 @@ class SolverOptions:
     #: matvecs when the instance is large and sparse, "dense"/"sparse" force.
     pdhg_matrix: str = "auto"
 
+    # --- PDHG → simplex crossover (cold solves beyond the kernel envelope) ----
+    #: "auto": cold simplex solves above the device-kernel envelope start
+    #: from a PDHG-identified basis instead of the slack basis (replaces
+    #: ~10⁵ cold pivots with a few hundred warm exact ones at maros scale);
+    #: "never" disables.
+    crossover: str = "auto"
+    #: KKT tolerance the PDHG stage runs to before basis identification —
+    #: the basis is combinatorial; moderate accuracy identifies it and the
+    #: exact polish absorbs the residual.
+    crossover_tol: float = 1e-5
+
     def effective_max_iter(self, m: int, n: int) -> int:
         if self.max_iter is not None:
             return int(self.max_iter)

@@ -102,24 +102,120 @@ def _netlib_shape_metric() -> dict:
 def _maros_shape_metric() -> dict:
     """maros-r7-shape certified single solve — the reference's biggest
     headline instance (BASELINE §1), through the default route: streaming
-    kernel f32 bulk pivots on the chip + host sparse-LU exact finish."""
+    kernel f32 bulk pivots on the chip + host sparse-LU exact finish.
+
+    Reports a stage breakdown (VERDICT r3 #1): first kernel launch (carries
+    compile / compile-cache load / first-DMA-chain overhead), later device
+    chunks, f64 verification, host polish, and the exact state rebuild —
+    measured inside the real solve via utils/profiling stage timers."""
     import jax
 
     if jax.default_backend() != "tpu":
         return None  # CPU cold solve at this scale is the --run-slow gate
+    from minilp_tpu.utils import profiling
     from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
 
     m, nv, dens = NETLIB_SHAPES["maros-r7"]
     prob = netlib_shaped_problem(m, nv, dens, seed=1)
+    profiling.reset_stages()
     t0 = time.perf_counter()
     sol = prob.solve()
     wall = time.perf_counter() - t0
+    stages = profiling.stages()
+    accounted = sum(v for k, v in stages.items() if k.endswith("_s"))
+    stages["unattributed_s"] = round(wall - accounted, 3)
     return {
         "shape": f"{m}x{nv}",
         "wall_s": round(wall, 2),
         "iters": int(sol._engine.iterations()),
         "certified": bool(sol._engine.certified),
+        "objective": float(sol.objective()),
+        "breakdown": stages,
     }
+
+
+def _pdhg_maros_metric(ref_obj: float | None) -> dict | None:
+    """PDHG (sparse BCOO, chunked launches) at the maros shape on the chip —
+    the first-order engine's device performance line (VERDICT r3 #6).
+    rel_gap is measured against the certified simplex objective of the SAME
+    instance (itself oracle-grade: exact f64 certified)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
+
+    m, nv, dens = NETLIB_SHAPES["maros-r7"]
+    prob = netlib_shaped_problem(m, nv, dens, seed=1)
+    prob.options = SolverOptions(
+        engine="pdhg", feas_tol=1e-6, pdhg_matrix="sparse",
+        pdhg_max_iter=400_000,
+    )
+    t0 = time.perf_counter()
+    try:
+        sol = prob.solve()
+    except Exception as e:  # surfaced in the artifact, not hidden
+        return {"shape": f"{m}x{nv}", "error": f"{type(e).__name__}: {e}"}
+    wall = time.perf_counter() - t0
+    obj = float(sol.objective())
+    out = {
+        "shape": f"{m}x{nv}",
+        "wall_s": round(wall, 2),
+        "iters": int(sol._engine.iterations()),
+        "objective": obj,
+    }
+    if ref_obj is not None:
+        out["rel_gap_vs_certified"] = float(
+            f"{abs(obj - ref_obj) / (1 + abs(ref_obj)):.3g}"
+        )
+    return out
+
+
+def _incremental_routing_metric() -> dict | None:
+    """Host vs megakernel warm re-solve A/B at (256, 1024) — the committed
+    number that justifies the incremental routing order (VERDICT r3 #7).
+    Both paths re-solve the same cut from the same warm state."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    from minilp_tpu.api import ComparisonOp, LinearExpr, Variable
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    out = {}
+    for label, opts in {
+        "host": SolverOptions(),
+        "megakernel": SolverOptions(use_megakernel="always"),
+    }.items():
+        prob = netlib_shaped_problem(250, 760, 0.05, seed=11)
+        prob.options = opts
+        sol = prob.solve()
+        rng = np.random.default_rng(5)
+        walls = []
+        cur = sol
+        for _k in range(4):
+            js = rng.choice(760, size=8, replace=False)
+            coeffs = rng.normal(size=8)
+            val = sum(float(cf) * cur[Variable(int(j))]
+                      for cf, j in zip(coeffs, js))
+            expr = LinearExpr(
+                (float(cf), Variable(int(j))) for cf, j in zip(coeffs, js)
+            )
+            t0 = time.perf_counter()
+            try:
+                cur = cur.add_constraint(expr, ComparisonOp.Le, val - 0.05)
+            except Exception:
+                break
+            walls.append(time.perf_counter() - t0)
+        out[label] = {
+            "nodes": len(walls),
+            "mean_resolve_s": (
+                round(float(np.mean(walls)), 3) if walls else None
+            ),
+        }
+    return out
 
 
 def _streaming_pivot_rate() -> dict | None:
@@ -257,6 +353,10 @@ def main() -> None:
     netlib_shape = _netlib_shape_metric()
     stream_rate = _streaming_pivot_rate()
     maros_shape = _maros_shape_metric()
+    pdhg_maros = _pdhg_maros_metric(
+        maros_shape.get("objective") if maros_shape else None
+    )
+    inc_routing = _incremental_routing_metric()
 
     print(json.dumps({
         "metric": "batched_lp_throughput",
@@ -282,6 +382,10 @@ def main() -> None:
         "netlib_shape_maros_r7": maros_shape,
         # streaming-kernel device pivot rate (VERDICT r2 roofline metric)
         "streaming_pivot_rate": stream_rate,
+        # first-order engine at the biggest headline shape (VERDICT r3 #6)
+        "pdhg_maros_shape": pdhg_maros,
+        # host vs megakernel warm re-solve A/B (VERDICT r3 #7)
+        "incremental_routing": inc_routing,
         "backend": jax.default_backend(),
     }))
 

@@ -137,7 +137,7 @@ def _stream_kernel(
     feas_tol: float, opt_tol: float, pivot_tol: float, bland_after: int,
     devex_floor: float, devex_reset: float, minor_k: int,
     regress_tol: float, se_weights: bool, minor_decay: float,
-    xb_refine: bool,
+    xb_refine: bool, long_step: bool = True,
     warm: bool = False,
 ):
     """Single LP.  See module docstring for the memory plan.
@@ -160,14 +160,16 @@ def _stream_kernel(
         (basis0_ref, vstat0_ref, Binv0_ref,
          basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          phase_out, infeas_out, obj_out,
-         Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
-         candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp, beff,
+         Binv, xB, d, loB, hiB, cB, wts, d1, W, etas,
+         candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp,
+         eta_rs, Pbuf, beff,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     else:
         (basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          phase_out, infeas_out, obj_out,
-         Binv, xB, d, loB, hiB, cB, wts, d1, wrow, prrow,
-         candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp, beff,
+         Binv, xB, d, loB, hiB, cB, wts, d1, W, etas,
+         candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp,
+         eta_rs, Pbuf, beff,
          tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
     ZERO = jnp.float32(0.0)
     ONE = jnp.float32(1.0)
@@ -290,10 +292,13 @@ def _stream_kernel(
         lax.fori_loop(0, m, init_smem, 0)
     wts[...] = jnp.ones_like(c)
     tell[0] = ZERO
+    # K8: sublane count of the candidate-block buffers (minor_k rounded up
+    # to the 8-sublane tile; must match stream_kernel_call's scratch shapes)
+    K8 = max(8, -(-int(minor_k) // 8) * 8)
     # zero the candidate column cache ONCE: unwritten lanes multiply by 0 in
     # the MXU one-hot selects, and uninitialized VMEM/interpret scratch can
     # hold NaN (0*NaN = NaN would poison the FTRAN)
-    candcols[...] = jnp.zeros((128, m), F32)
+    candcols[...] = jnp.zeros((K8, m), F32)
 
     def tile_vectors(t):
         """(vstat, c, lo, hi) slices for tile t, read from refs (Mosaic has
@@ -530,10 +535,17 @@ def _stream_kernel(
 
     recompute_vectors()
 
-    # lane/sublane iotas for the candidate buffers (128 lanes fixed: the
-    # minimum Mosaic lane tile; minor_k <= 128 of them are used)
+    # lane/sublane iotas for the candidate buffers.  Lane RECORDS are
+    # (1, 128) (the minimum Mosaic lane tile; minor_k <= 128 of them used);
+    # the candidate BLOCK buffers (candcols/W/etas/P) are (K8, m).
     lane128 = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    rowKS = lax.broadcasted_iota(jnp.int32, (128, m), 0)
+    rowKS = lax.broadcasted_iota(jnp.int32, (K8, m), 0)
+    colKS = lax.broadcasted_iota(jnp.int32, (K8, m), 1)
+    # K8↔128 lane adapter: onehotK128[k, j] = (k == j); contractions against
+    # it move (K8, 1) sublane values onto (1, 128) lane records and back
+    onehotK128 = (lax.broadcasted_iota(jnp.int32, (K8, 128), 0)
+                  == lax.broadcasted_iota(jnp.int32, (K8, 128), 1)
+                  ).astype(F32)
     neg_inf = jnp.float32(NEG_INF)
 
     def recompute_d():
@@ -692,7 +704,7 @@ def _stream_kernel(
             )                               # (1, m)
             candcols[...] = jnp.where(
                 (rowKS == k) & valid,
-                jnp.broadcast_to(acol, (128, m)), candcols[...],
+                jnp.broadcast_to(acol, (K8, m)), candcols[...],
             )
             lane_k = lane128 == k
             cand_ids[...] = jnp.where(
@@ -715,14 +727,31 @@ def _stream_kernel(
 
         lax.fori_loop(0, minor_k, sel_body, score0)
 
+        # ---- candidate tableau block W = (B⁻¹·candcols) ----------------------
+        # ONE (K8, m)×(m, m) MXU contraction per major; minors then read
+        # their FTRAN as a ROW of W and maintain W by a rank-1 update — no
+        # per-minor (m, m)×(m, 1) matvec (VERDICT r3 #2: the kernel was
+        # per-minor op-dispatch-bound, not bandwidth-bound).
+        # W[k, i] = Σ_j candcols[k, j]·Binv[i, j] = (B⁻¹ a_k)[i]
+        W[...] = lax.dot_general(
+            candcols[...], Binv[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=F32,
+        )
+        # deferred-PFI eta ledger: minors do NOT touch Binv; each pivot
+        # records its (composed) eta vector + leaving row, and the whole
+        # batch folds into Binv with two MXU contractions after the minor
+        # loop.  Zeroed rows are inert in the fold contraction.
+        etas[...] = jnp.zeros((K8, m), F32)
+        eta_rs[...] = jnp.zeros((1, 128), F32)
+
         # ---- minor pivots on the cached candidate columns --------------------
         def minor_cond(mc):
-            j, status, niter, noimp, fresh, sref, stop, wexit = mc
+            j, status, niter, noimp, fresh, sref, stop, wexit, n_eta = mc
             return ((j < jnp.int32(minor_k)) & (stop == 0)
                     & (status == Status.RUNNING) & (niter < max_iter))
 
         def minor_body(mc):
-            j, status, niter, noimp, fresh, sref, stop, wexit = mc
+            j, status, niter, noimp, fresh, sref, stop, wexit, n_eta = mc
             loBv = loB[...]
             hiBv = hiB[...]
             xBv = xB[...]
@@ -734,16 +763,20 @@ def _stream_kernel(
 
             # candidate reduced costs: phase 2 maintains them exactly on the
             # (1, 128) lane vector; phase 1 recomputes them against the
-            # current σ (state-dependent) from the cached columns — inside
-            # pl.when so phase 2 skips the m² matvec entirely
+            # current σ (state-dependent) — σᵀB⁻¹a_k = σ·W[k, :], one
+            # (K8, m)×(m, 1) contraction on the maintained tableau block
+            # (the round-3 kernel paid an (m, m) matvec here)
             @pl.when(p1)
             def _():
                 ones_m = jnp.ones_like(xBv)
                 sigma = jnp.where(below, -ones_m,
                                   jnp.where(above, ones_m, ZERO * ones_m))
-                y1 = sigma @ Binv[...]
+                dK = lax.dot_general(
+                    W[...], sigma, (((1,), (1,)), ((), ())),
+                    preferred_element_type=F32,
+                )                           # (K8, 1)
                 d_cand[...] = -lax.dot_general(
-                    y1, candcols[...], (((1,), (1,)), ((), ())),
+                    dK, onehotK128, (((0,), (0,)), ((), ())),
                     preferred_element_type=F32,
                 )                           # (1, 128)
 
@@ -788,12 +821,13 @@ def _stream_kernel(
             vq = jnp.sum(jnp.where(lane_sel, vc, jnp.int32(0)))
             s = jnp.where(dq < ZERO, jnp.float32(1.0), jnp.float32(-1.0))
 
-            # FTRAN from the cached column — no HBM traffic in a minor;
-            # the lane one-hot contracts against candcols on the MXU (a
-            # (128, m) masked reduction costs a full VPU pass instead)
-            acol = jnp.dot(lane_sel.astype(F32), candcols[...],
-                           preferred_element_type=F32)   # (1, m)
-            w = (Binv[...] @ acol.T).T      # (1, m)
+            # FTRAN = a ROW READ of the maintained tableau block W (the
+            # round-3 kernel did an (m, m)×(m, 1) Binv matvec per minor);
+            # one masked (K8, m) reduce — K8·m VPU ops
+            w = jnp.sum(
+                jnp.where(rowKS == ksel, W[...], ZERO),
+                axis=0, keepdims=True,
+            )                               # (1, m)
 
             # ---- ratio test (identical to the megakernel) --------------------
             delta = -s * w
@@ -832,7 +866,14 @@ def _stream_kernel(
             # read an inert record.
             lstmp[...] = jnp.zeros((1, 128), F32)
 
-            @pl.when(p1 & ~bland & found)
+            # `long_step` is STATIC (shape-conditional, set by the caller):
+            # the piecewise-linear search pays off where phase 1 is tens of
+            # thousands of pivots (maros scale) but cost ~25% wall at the
+            # 25fv47 shape (round-3 chip measurement) — with long_step
+            # False the whole block is never traced (zeroed lstmp keeps the
+            # downstream lane reads inert; the Harris test stands alone).
+            @pl.when(p1 & ~bland & found if long_step
+                     else jnp.bool_(False))
             def _():
                 sig = jnp.where(
                     below, -jnp.ones_like(xBv),
@@ -967,11 +1008,14 @@ def _stream_kernel(
                 vstat,
             )
 
-            # ---- pivot: PFI + maintained state ------------------------------
+            # ---- pivot: deferred PFI + maintained state ---------------------
+            # No Binv reads or writes in a minor: the pivot row over the
+            # CANDIDATES is column r of W (alpha_c below), the inverse
+            # update is recorded as a composed eta and folded after the
+            # minor loop, and W itself takes the rank-1 PFI directly.
             onehot_r = (row_ids == r).astype(F32)
             wr = sel_row(w, r)
             wr_safe = jnp.where(wr == ZERO, ONE, wr)
-            pr = (onehot_r @ Binv[...]) / wr_safe       # (1, m)
             x_enter = enter_base + s * t
             xB_piv = jnp.where(row_ids == r, x_enter, xBv + t * delta)
             basis_piv = jnp.where(row_ids == r, q, basis)
@@ -993,12 +1037,17 @@ def _stream_kernel(
             cB[...] = jnp.where(do_pivot, cB_piv, cB[...])
 
             # candidate-state maintenance: exact d/Devex updates on the
-            # (1, 128) lane vectors (α restricted to candidates is one
-            # (1, m)×(m, 128) MXU product against the cached columns)
+            # (1, 128) lane vectors.  α over the candidates = the pivot row
+            # of B⁻¹·candcols = COLUMN r of W — a masked (K8, m) reduce +
+            # the K8→128 lane adapter (the round-3 kernel paid an
+            # (1, m)×(m, 128) MXU product after an (m, m) pivot-row matvec)
             rd = dq / wr_safe
-            prw = pr * wr_safe              # Binv_old[r] (1, m)
+            Wcol_r = jnp.sum(
+                jnp.where(colKS == r, W[...], ZERO),
+                axis=1, keepdims=True,
+            )                               # (K8, 1) = (B⁻¹ a_k)[r] per k
             alpha_c = lax.dot_general(
-                prw, candcols[...], (((1,), (1,)), ((), ())),
+                Wcol_r, onehotK128, (((0,), (0,)), ((), ())),
                 preferred_element_type=F32,
             )                               # (1, 128)
 
@@ -1050,20 +1099,31 @@ def _stream_kernel(
 
             @pl.when(do_pivot)
             def _():
-                # PFI rank-1 inverse update, tiled over row blocks (an
-                # (m, m) outer-product temporary would overflow VMEM)
-                wrow[...] = w - onehot_r
-                prrow[...] = pr
-
-                def pfi_tile(tt, _):
-                    sl = pl.ds(tt * tb, tb)
-                    wt = wrow[:, sl]                   # (1, tb)
-                    Binv[sl, :] = Binv[sl, :] - jnp.dot(
-                        wt.T, prrow[...], preferred_element_type=F32
-                    )
-                    return 0
-
-                lax.fori_loop(0, m_tiles, pfi_tile, 0)
+                # W rank-1 PFI: W_new[k,:] = W[k,:] − (W[k,r]/w_r)(w − e_r)
+                # — the same eta transform the inverse will take at fold
+                # time, applied to the (K8, m) block directly
+                g_row = (w - onehot_r) / wr_safe       # (1, m) eta vector
+                W[...] = W[...] - jnp.dot(
+                    Wcol_r, g_row, preferred_element_type=F32
+                )
+                # eta ledger: compose the new eta into the stored ones
+                # (g̃_j ← g̃_j − (g̃_j)_r·g_new, zero rows stay zero), then
+                # record g_new at sublane n_eta and its leaving row on the
+                # lane record
+                etacol_r = jnp.sum(
+                    jnp.where(colKS == r, etas[...], ZERO),
+                    axis=1, keepdims=True,
+                )                                      # (K8, 1)
+                etas[...] = jnp.where(
+                    rowKS == n_eta,
+                    jnp.broadcast_to(g_row, (K8, m)),
+                    etas[...] - jnp.dot(
+                        etacol_r, g_row, preferred_element_type=F32
+                    ),
+                )
+                eta_rs[...] = jnp.where(
+                    lane128 == n_eta, r.astype(F32), eta_rs[...]
+                )
                 basis_smem[r] = q
 
             # ---- minor status/progress accounting ---------------------------
@@ -1090,6 +1150,7 @@ def _stream_kernel(
             fresh = jnp.where(applied, jnp.int32(0), fresh)
             niter = niter + jnp.where(applied, jnp.int32(1), jnp.int32(0))
             sref = sref + jnp.where(applied, jnp.int32(1), jnp.int32(0))
+            n_eta = n_eta + jnp.where(do_pivot, jnp.int32(1), jnp.int32(0))
             # stall tracking by DEGENERATE-step counting (see round-2 note:
             # objective-proxy detectors misfire late-solve)
             degenerate = applied & (t <= jnp.float32(1e-9))
@@ -1105,15 +1166,44 @@ def _stream_kernel(
                 | bland,
                 jnp.int32(1), stop,
             )
-            return (j + 1, status, niter, noimp, fresh, sref, stop, wexit)
+            return (j + 1, status, niter, noimp, fresh, sref, stop, wexit,
+                    n_eta)
 
         init_minor = (
             jnp.int32(0), status, niter, noimp, fresh, sref,
-            jnp.int32(0), jnp.int32(0),
+            jnp.int32(0), jnp.int32(0), jnp.int32(0),
         )
-        (_j, status, niter, noimp, fresh, sref, _stop, wexit) = lax.while_loop(
-            minor_cond, minor_body, init_minor
-        )
+        (_j, status, niter, noimp, fresh, sref, _stop, wexit,
+         n_eta) = lax.while_loop(minor_cond, minor_body, init_minor)
+
+        # ---- fold the deferred etas into Binv --------------------------------
+        # Binv_new = E_K···E_1·Binv = Binv − Σ_j g̃_j ⊗ Binv[r_j, :] with the
+        # g̃_j already composed in the ledger.  Two MXU contractions: P =
+        # onehot(r_j)·Binv gathers the pivot rows, then each row-tile takes
+        # (K8, tb)ᵀ(K8, m).  Replaces K8 serialized per-minor rank-1 PFI
+        # passes (the round-3 kernel's largest per-minor op) with one
+        # batched update per major.
+        @pl.when(n_eta > jnp.int32(0))
+        def _():
+            rs_col = lax.dot_general(
+                onehotK128, eta_rs[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=F32,
+            )                                          # (K8, 1)
+            ohR = (colKS == rs_col.astype(jnp.int32)).astype(F32)
+            # rows ≥ n_eta: eta rows are zero ⇒ inert in the contraction,
+            # whatever P holds there
+            Pbuf[...] = jnp.dot(ohR, Binv[...], preferred_element_type=F32)
+
+            def fold_tile(tt, _):
+                sl = pl.ds(tt * tb, tb)
+                et = etas[:, sl]                       # (K8, tb)
+                Binv[sl, :] = Binv[sl, :] - lax.dot_general(
+                    et, Pbuf[...], (((0,), (0,)), ((), ())),
+                    preferred_element_type=F32,
+                )
+                return 0
+
+            lax.fori_loop(0, m_tiles, fold_tile, 0)
 
         # ---- major terminal claims (only from fresh state) -------------------
         believe = fresh == 1
@@ -1175,7 +1265,7 @@ def _stream_kernel(
         "slack0", "tile_n", "tile_m", "max_iter", "refactor_period",
         "newton_sweeps", "feas_tol", "opt_tol", "pivot_tol", "bland_after",
         "devex_floor", "devex_reset", "minor_k", "regress_tol",
-        "se_weights", "minor_decay", "xb_refine", "interpret",
+        "se_weights", "minor_decay", "xb_refine", "long_step", "interpret",
     ),
 )
 def stream_kernel_call(
@@ -1183,9 +1273,14 @@ def stream_kernel_call(
     slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
     feas_tol, opt_tol, pivot_tol, bland_after, devex_floor, devex_reset,
     minor_k, regress_tol, se_weights, minor_decay, xb_refine, interpret,
+    long_step=True,
 ):
     n, m = AT32.shape
     warm = bool(warm_args)
+    # candidate-block sublane count: minor_k rounded up to the 8-sublane
+    # tile (the W/eta/candcols buffers are (K8, m); lane RECORDS stay
+    # (1, 128) — the minimum lane tile)
+    K8 = max(8, -(-int(minor_k) // 8) * 8)
     kern = functools.partial(
         _stream_kernel, m=m, n=n, slack0=slack0, tile_n=tile_n,
         tile_m=tile_m,
@@ -1194,7 +1289,8 @@ def stream_kernel_call(
         pivot_tol=pivot_tol, bland_after=bland_after,
         devex_floor=devex_floor, devex_reset=devex_reset, minor_k=minor_k,
         regress_tol=regress_tol, se_weights=se_weights,
-        minor_decay=minor_decay, xb_refine=xb_refine, warm=warm,
+        minor_decay=minor_decay, xb_refine=xb_refine, long_step=long_step,
+        warm=warm,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     warm_specs = (
@@ -1234,14 +1330,16 @@ def stream_kernel_call(
             pltpu.VMEM((1, m), F32),        # cB
             pltpu.VMEM((1, n), F32),        # Devex weights
             pltpu.VMEM((1, n), F32),        # d1 (phase-1 composite)
-            pltpu.VMEM((1, m), F32),        # wrow (PFI tile stash)
-            pltpu.VMEM((1, m), F32),        # prrow (PFI tile stash)
-            pltpu.VMEM((128, m), F32),      # candidate Aᵀ columns (cached)
+            pltpu.VMEM((K8, m), F32),       # W = (B⁻¹·candcols)ᵀ rows
+            pltpu.VMEM((K8, m), F32),       # composed eta vectors (deferred PFI)
+            pltpu.VMEM((K8, m), F32),       # candidate Aᵀ columns (cached)
             pltpu.VMEM((1, 128), jnp.int32),  # candidate column ids
             pltpu.VMEM((1, 128), F32),      # candidate reduced costs
             pltpu.VMEM((1, 128), F32),      # candidate Devex weights
             pltpu.VMEM((1, 128), jnp.int32),  # candidate statuses
             pltpu.VMEM((1, 128), F32),      # long-step result lanes
+            pltpu.VMEM((1, 128), F32),      # eta leaving-row ids (f32-exact)
+            pltpu.VMEM((K8, m), F32),       # P = Binv rows at eta pivots (fold)
             pltpu.VMEM((1, m), F32),        # b_eff stash (xB refinement)
             pltpu.VMEM((2, max(tile_n, tile_m), m), F32),  # Aᵀ tile dbl buffer
             pltpu.VMEM((max(tile_n, tile_m), m), F32),  # general tile temp
@@ -1276,6 +1374,7 @@ def solve_streaming_pallas(
     se_weights: bool = True,
     minor_decay: float = 0.0625,
     xb_refine: bool = True,
+    long_step_min_m: int = 2048,
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | None = 8192,
@@ -1380,6 +1479,7 @@ def solve_streaming_pallas(
                 devex_reset=devex_reset, minor_k=minor_k,
                 regress_tol=regress_tol, se_weights=se_weights,
                 minor_decay=minor_decay, xb_refine=xb_refine,
+                long_step=bool(m >= long_step_min_m),
                 interpret=interpret,
             )
             total_iter += int(out[3][0, 0])

@@ -190,3 +190,27 @@ def test_devex_reset_option_reaches_kernel():
     assert bool(base.verified) and bool(reset.verified)
     np.testing.assert_allclose(float(reset.obj), float(base.obj),
                                rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed,m,nv", [(3, 16, 24), (4, 16, 40)])
+def test_streaming_long_step_enabled_matches_oracle(seed, m, nv):
+    """long_step is shape-conditional (off below long_step_min_m=2048, where
+    round-3 chip runs measured it wall-negative); force it ON at a small
+    shape so the piecewise-linear phase-1 search stays CI-covered."""
+    from scipy.optimize import linprog
+
+    args = make_random_batch(jax.random.PRNGKey(200 + seed), 1, m, nv)
+    A, b, c, lo, hi, _, _ = [np.asarray(x[0]) for x in args]
+    res = solve_streaming_pallas(
+        A, b, c, lo, hi, tile_n=16, interpret=True, long_step_min_m=0,
+    )
+    assert int(res.status) == int(Status.OPTIMAL)
+    assert bool(res.verified)
+    bounds = [
+        (lo[j] if np.isfinite(lo[j]) else None,
+         hi[j] if np.isfinite(hi[j]) else None)
+        for j in range(c.shape[0])
+    ]
+    r = linprog(c, A_eq=A, b_eq=b, bounds=bounds, method="highs")
+    assert r.status == 0
+    assert abs(float(res.obj) - r.fun) <= 1e-9 * (1 + abs(r.fun))

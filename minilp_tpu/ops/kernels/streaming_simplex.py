@@ -14,7 +14,7 @@ set across the memory hierarchy the way the hardware wants it:
   FTRAN fetch — is one contiguous row DMA, and (b) the per-pivot row pass
   α = B⁻¹[r]·A streams row-tiles of Aᵀ through the MXU as (TILE_N, m)×(m, 1)
   matvecs with the d/weights updates fused into the same tile visit.
-* **HBM scratch (2, m, m)**: the periodic Newton refresh stages B (gathered
+* **HBM scratch (3, m, m)**: the periodic Newton refresh stages B (gathered
   by m row DMAs, one per basic column) and the intermediate H = X·B there,
   so VMEM never holds more than ONE m² buffer:
       X' = 2X − (X·B)·X  — H-tiles and X'-tiles each computed from the full
@@ -142,7 +142,8 @@ def _stream_kernel(
 ):
     """Single LP.  See module docstring for the memory plan.
 
-    scratch_hbm: (2, m, m) f32 HBM staging (slot 0: B then X'; slot 1: H).
+    scratch_hbm: (3, m, m) f32 HBM staging (slot 0: X'; slot 1: H; slot 2:
+        Bᵀ, gathered once per refresh and shared by all Newton sweeps).
     tilebuf: (2, tile_n, m) VMEM double buffer for Aᵀ row-tiles.
     tiltmp: (tile_n, m) VMEM general tile temporary (refresh sweeps).
     basis_smem: (m,) int32 SMEM — dynamic scalar indexing for row DMAs.
@@ -376,20 +377,13 @@ def _stream_kernel(
 
         stream_tiles(set_d)
 
-    def newton_refresh():
-        """One Newton–Schulz sweep X ← 2X − (X·B)·X staged through HBM.
+    def gather_B():
+        """Gather Bᵀ (the basic columns of Aᵀ) into scratch_hbm slot 2.
 
-        slot 0 first holds Bᵀ (gathered by m row DMAs: slot0[i] = Aᵀ[basis_i]
-        = B[:, i]ᵀ, SMEM-indexed), then is reused for X'; slot 1 holds the
-        intermediate H = X·B.  Row-tile t of H is X[t] @ B = X[t] @ slot0ᵀ,
-        built column-block by column-block with slot0 streamed row-wise
-        (blk = X[t] · slot0[s]ᵀ = (X·B)[t, s-block]); row-tile t of X' is
-        2X[t] − H[t]·X with H[t] DMA'd back and the full OLD X resident in
-        VMEM.  X' lands in slot 0 and is DMA'd home at the end — VMEM never
-        holds a second m² buffer.  Returns max|I − X·B| (divergence
-        telltale; an inverse beyond Newton's basin shows up as an
-        uncertified basis at the host anyway)."""
-        # ---- gather Bᵀ rows into slot 0 ------------------------------------
+        ONE gather serves ALL Newton sweeps of a refresh (the basis does not
+        change between sweeps; round 3 re-gathered per sweep — m serialized
+        row DMAs each, the single most latency-bound block of the kernel)."""
+        # ---- gather Bᵀ rows into slot 2 ------------------------------------
         # HBM slices must be 8-row (sublane) aligned, so each basic column's
         # row is fetched as the ALIGNED 8-row block containing it and the
         # wanted row is mask-selected in VMEM; rows are assembled 8 at a time
@@ -411,7 +405,7 @@ def _stream_kernel(
         def put_dma(k):
             return pltpu.make_async_copy(
                 tiltmp.at[pl.ds(0, 8), :],
-                scratch_hbm.at[0, pl.ds(k * 8, 8), :],
+                scratch_hbm.at[2, pl.ds(k * 8, 8), :],
                 rsem,
             )
 
@@ -450,10 +444,21 @@ def _stream_kernel(
         lax.fori_loop(0, n_blocks, gblock, 0)
         put_dma(n_blocks - 1).wait()
 
+    def newton_sweep():
+        """One Newton–Schulz sweep X ← 2X − (X·B)·X staged through HBM.
+
+        Slot 2 holds Bᵀ (gather_B); slot 1 holds the intermediate H = X·B;
+        X' lands in slot 0 and is DMA'd home at the end — VMEM never holds
+        a second m² buffer.  Row-tile t of H is X[t] @ B = X[t] @ slot2ᵀ,
+        built column-block by column-block with slot2 streamed row-wise;
+        row-tile t of X' is 2X[t] − H[t]·X with H[t] DMA'd back and the
+        full OLD X resident in VMEM.  Returns max|I − X·B| (divergence
+        telltale; an inverse beyond Newton's basin shows up as an
+        uncertified basis at the host anyway)."""
         # ---- H = X·B row-tiles → slot 1 --------------------------------------
         def hb_dma(slot, s):
             return pltpu.make_async_copy(
-                scratch_hbm.at[0, pl.ds(s * tb, tb), :],
+                scratch_hbm.at[2, pl.ds(s * tb, tb), :],
                 tilebuf.at[slot, pl.ds(0, tb), :],
                 sems.at[slot],
             )
@@ -597,9 +602,10 @@ def _stream_kernel(
 
         @pl.when(do_refresh)
         def _():
+            gather_B()
             resid = ZERO
             for _s in range(newton_sweeps):
-                resid = newton_refresh()
+                resid = newton_sweep()
             recompute_vectors()
             tell[0] = resid
 
@@ -1315,7 +1321,7 @@ def stream_kernel_call(
             jax.ShapeDtypeStruct((1, n), jnp.int32),   # vstat
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # status
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # niter
-            jax.ShapeDtypeStruct((2, m, m), F32),      # HBM staging
+            jax.ShapeDtypeStruct((3, m, m), F32),      # HBM staging
             jax.ShapeDtypeStruct((m, m), F32),         # Binv out
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # phase
             jax.ShapeDtypeStruct((1, 1), F32),         # primal infeasibility

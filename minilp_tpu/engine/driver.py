@@ -575,7 +575,14 @@ def _try_streaming_solve(
         return _state_from_certified_basis(
             can, basis, vstat, int(res.niter), opts
         )
-    if int(res.status) in (int(Status.OPTIMAL), int(Status.NUMERICAL)):
+    if int(res.status) in (
+        int(Status.OPTIMAL), int(Status.NUMERICAL), int(Status.MAX_ITER)
+    ):
+        # MAX_ITER included: a basis after 10⁵⁺ f32 pivots is normally a
+        # few exact pivots from optimal — discarding it (round-4 chip
+        # post-mortem: a maros cold run hit the iteration cap and the
+        # driver threw the whole device run away) wastes the device work
+        # the polish can bank.
         return _host_polish_from_basis(
             can, basis, vstat, opts, niter0=int(res.niter)
         )
@@ -696,6 +703,38 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             handle.certify()
             return api.Solution(handle, user_problem)
         # uncertified / non-optimal / kernel unavailable → XLA engine below
+    if (opts.dtype == "float64" and can.M > 2048
+            and opts.crossover != "never"
+            and opts.use_streaming != "always"):
+        # PDHG → simplex crossover FIRST at these sizes — on ANY backend.
+        # Chip-measured at maros shape (round 4): the streaming kernel's
+        # Newton refresh is O(m³) per refactorization and dominates above
+        # m ≈ 2–3k (≈5 s/8192-pivot chunk, ~1.5k pivots/s, and a cold run
+        # hit MAX_ITER at 500k pivots without terminating), while the
+        # crossover certifies the same instance in ~116 s on the host CPU
+        # (~96k sparse PDHG iterations + 61 exact pivots).  The kernel
+        # remains the cold path below this size and the warm-restart path
+        # at every size.
+        from .crossover import solve_cold_crossover
+
+        with records.timed() as t:
+            res = solve_cold_crossover(can, opts)
+        if res is not None:
+            status = int(res.status)
+            state = _state_from_certified_basis(
+                can, res.basis, res.vstat, res.niter, opts
+            )
+            if state is not None and status != int(Status.OPTIMAL):
+                state = state._replace(status=jnp.int32(status))
+            if state is not None:
+                _emit_record("cold_solve_crossover", can, state, status,
+                             t.wall_s, opts)
+                _raise_for_status(status)
+                handle = EngineHandle(can, state, problem, opts)
+                handle.certify()
+                return api.Solution(handle, user_problem)
+        # crossover declined (PDHG far from optimum / singular crash) →
+        # streaming kernel, then the host engines below
     if _streaming_eligible(can, opts):
         with records.timed() as t:
             state = _try_streaming_solve(can, opts)
@@ -722,36 +761,13 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
             return api.Solution(handle, user_problem)
         # f32 pass uncertified or claimed non-OPTIMAL → exact f64 engine below
     if opts.dtype == "float64" and can.M > 2048:
-        # Above the streaming kernel's envelope (or when it declined): the
-        # host sparse engine (hostlp splu; dense XLA CPU as fallback).  On
-        # TPU this also avoids the emulated-f64 graph (minutes of compile,
-        # worker faults at some shapes); on CPU the dense f64 XLA engine is
-        # O(m·n) dense per pivot — measured >50 min at maros scale, vs
-        # minutes for sparse FTRAN/BTRAN.
-        state = None
-        if opts.crossover != "never":
-            # PDHG → simplex crossover first: a cold slack-basis start at
-            # maros scale prices ~88k exact pivots (~50 min on this CPU);
-            # identifying the basis from a moderate-accuracy first-order
-            # solve cuts that to a warm polish (engine/crossover.py).
-            from .crossover import solve_cold_crossover
-
-            with records.timed() as t:
-                res = solve_cold_crossover(can, opts)
-            if res is not None:
-                status = int(res.status)
-                state = _state_from_certified_basis(
-                    can, res.basis, res.vstat, res.niter, opts
-                )
-                if state is not None and status != int(Status.OPTIMAL):
-                    state = state._replace(status=jnp.int32(status))
-                if state is not None:
-                    _emit_record("cold_solve_crossover", can, state, status,
-                                 t.wall_s, opts)
-                    _raise_for_status(status)
-                    handle = EngineHandle(can, state, problem, opts)
-                    handle.certify()
-                    return api.Solution(handle, user_problem)
+        # Above the streaming kernel's envelope (or when it and the
+        # crossover declined): the host sparse engine cold (hostlp splu;
+        # dense XLA CPU as fallback).  On TPU this also avoids the
+        # emulated-f64 graph (minutes of compile, worker faults at some
+        # shapes); on CPU the dense f64 XLA engine is O(m·n) dense per
+        # pivot — measured >50 min at maros scale, vs minutes for sparse
+        # FTRAN/BTRAN.
         with records.timed() as t:
             state = _host_polish_from_basis(
                 can, np.asarray(can.basis0), np.asarray(can.vstat0), opts,

@@ -280,7 +280,9 @@ def _try_streaming_resolve(handle, event: str) -> bool:
             state = _driver._state_from_certified_basis(
                 can, basis, vstat, int(res.niter), opts
             )
-        elif int(res.status) in (int(Status.OPTIMAL), int(Status.NUMERICAL)):
+        elif int(res.status) in (
+            int(Status.OPTIMAL), int(Status.NUMERICAL), int(Status.MAX_ITER)
+        ):
             state = _driver._host_polish_from_basis(
                 can, basis, vstat, opts, niter0=int(res.niter)
             )

@@ -97,6 +97,12 @@ class SurrenderTracker:
     was still in motion, handing the host a basis an hour of exact pivots
     from optimal.  Factored out of the chunk loop so the joint-stagnation
     policy is unit-testable without hardware (VERDICT r3 weak #6).
+
+    PHASE-AGNOSTIC since round 4: a chip run at the maros shape froze in
+    PHASE 1 (constant infeasibility, flat objective, all-degenerate
+    pivots) and the phase-2-only tracker let it burn 345 s of device time
+    to MAX_ITER; healthy phase 1 decays infeasibility geometrically, so
+    the joint not-halving + obj-flat condition is just as meaningful there.
     """
 
     def __init__(self, feas_tol: float, patience: int = 4):
@@ -109,7 +115,7 @@ class SurrenderTracker:
     def update(self, phase: int, infeas: float, obj: float) -> bool:
         """Record one chunk's exit telemetry; True ⇒ surrender now."""
         fire = False
-        if phase == 2 and infeas > 1e3 * self.feas_tol:
+        if infeas > 1e3 * self.feas_tol:
             obj_moving = self.last_obj is None or (
                 abs(obj - self.last_obj) > 1e-6 * (1.0 + abs(obj))
             )

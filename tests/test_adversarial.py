@@ -224,14 +224,24 @@ def test_surrender_tracker_reset_by_improving_infeasibility():
     assert fired == [False, False, False, True]
 
 
-def test_surrender_tracker_ignores_phase1_and_small_infeas():
+def test_surrender_tracker_ignores_small_infeas():
     from minilp_tpu.ops.kernels.streaming_simplex import SurrenderTracker
 
     t = SurrenderTracker(feas_tol=1e-5, patience=4)
     for _ in range(10):
-        assert t.update(1, 1.0, 5.0) is False       # phase 1: never
         assert t.update(2, 1e-4, 5.0) is False      # below 1e3·tol: never
     assert t.stalled == 0
+
+
+def test_surrender_tracker_fires_on_phase1_freeze():
+    """The round-4 chip post-mortem case: phase 1 frozen at constant
+    infeasibility with a flat objective must surrender (the phase-2-only
+    tracker let a maros run burn 345 s of device time to MAX_ITER)."""
+    from minilp_tpu.ops.kernels.streaming_simplex import SurrenderTracker
+
+    t = SurrenderTracker(feas_tol=1e-5, patience=4)
+    fired = [t.update(1, 8.0e3, -34.28) for _ in range(5)]
+    assert fired == [False, False, False, False, True]
 
 
 def test_forced_stall_surrenders_and_driver_recovers(monkeypatch):

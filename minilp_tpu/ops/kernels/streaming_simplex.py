@@ -1386,7 +1386,16 @@ def solve_streaming_pallas(
     se_weights: bool = True,
     minor_decay: float = 0.0625,
     xb_refine: bool = True,
-    long_step_min_m: int = 2048,
+    # long-step phase 1 is DISABLED by default since round 4: on hardware it
+    # interacts with the W-tableau minors to freeze phase 1 at maros scale
+    # (constant infeasibility, all-degenerate pivots — chip-measured; the
+    # same instance converges and verifies with it off, and interpret mode
+    # cannot reproduce the freeze).  Cold solves at the scales where the
+    # long step paid off (m >= 2048) route through the PDHG crossover now,
+    # so the kernel's domain (cold <= 2048, warm restarts) never used it.
+    # Re-enable by lowering the threshold; the CI gate keeps the path green
+    # in interpret mode.
+    long_step_min_m: int = 1 << 30,
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | None = 8192,

@@ -137,33 +137,63 @@ def _maros_shape_metric() -> dict:
 def _pdhg_maros_metric(ref_obj: float | None) -> dict | None:
     """PDHG (sparse BCOO, chunked launches) at the maros shape on the chip —
     the first-order engine's device performance line (VERDICT r3 #6).
-    rel_gap is measured against the certified simplex objective of the SAME
-    instance (itself oracle-grade: exact f64 certified)."""
+
+    WALL-BOUNDED: sparse f64 PDHG on this chip runs at O(10²) iters/s
+    (segment-sum matvecs + emulated f64), so the line reports the KKT error
+    and relative objective gap REACHED within a ~120 s device budget rather
+    than running ~96k iterations to 1e-6 (the dense-matvec alternative
+    FAULTS the TPU worker at this shape — measured, the emulated-f64 XLA
+    graph gotcha).  rel_gap is against the certified simplex objective of
+    the SAME instance from the maros line (itself exact-f64 certified)."""
     import jax
 
     if jax.default_backend() != "tpu":
         return None
+    import jax.numpy as jnp
+    from jax.experimental import sparse as jsparse
+
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.engine.pdhg import solve_pdhg_sparse
     from minilp_tpu.options import SolverOptions
+    from minilp_tpu.status import Status
     from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
 
     m, nv, dens = NETLIB_SHAPES["maros-r7"]
     prob = netlib_shaped_problem(m, nv, dens, seed=1)
-    prob.options = SolverOptions(
-        engine="pdhg", feas_tol=1e-6, pdhg_matrix="sparse",
-        pdhg_max_iter=400_000,
-    )
-    t0 = time.perf_counter()
+    can = canonicalize(prob, dtype=np.float64)
+    opts = SolverOptions(engine="pdhg", feas_tol=1e-6, pdhg_matrix="sparse",
+                         pdhg_max_iter=400_000)
     try:
-        sol = prob.solve()
+        Ab = jsparse.BCOO.fromdense(jnp.asarray(can.A))
+        args = (jnp.asarray(can.b), jnp.asarray(can.c),
+                jnp.asarray(can.lo), jnp.asarray(can.hi))
+        t0 = time.perf_counter()
+        st = None
+        done = 0
+        chunk = 4000
+        budget_s = 120.0
+        while True:
+            cap = min(done + chunk, opts.pdhg_max_iter)
+            st = solve_pdhg_sparse(Ab, *args, opts=opts, state0=st,
+                                   stop_at=jnp.int32(cap))
+            np.asarray(st.err)  # force completion (axon quirk)
+            done = int(st.niter)
+            wall = time.perf_counter() - t0
+            if (int(st.status) != int(Status.MAX_ITER)
+                    or wall > budget_s or done >= opts.pdhg_max_iter):
+                break
     except Exception as e:  # surfaced in the artifact, not hidden
         return {"shape": f"{m}x{nv}", "error": f"{type(e).__name__}: {e}"}
-    wall = time.perf_counter() - t0
-    obj = float(sol.objective())
+    obj = float(can.obj_sign * (can.c @ np.asarray(st.x)))
     out = {
         "shape": f"{m}x{nv}",
         "wall_s": round(wall, 2),
-        "iters": int(sol._engine.iterations()),
+        "iters": done,
+        "iters_per_sec": round(done / wall, 1),
+        "kkt_err": float(f"{float(st.err):.3g}"),
+        "status": Status(int(st.status)).name,
         "objective": obj,
+        "wall_bounded_s": budget_s,
     }
     if ref_obj is not None:
         out["rel_gap_vs_certified"] = float(

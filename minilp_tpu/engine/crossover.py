@@ -165,6 +165,7 @@ def solve_cold_crossover(
     import jax.numpy as jnp
     from jax.experimental import sparse as jsparse
 
+    from ..utils import profiling
     from .pdhg import solve_pdhg_sparse
 
     if opts.dtype != "float64":
@@ -182,7 +183,7 @@ def solve_cold_crossover(
         feas_tol=max(float(opts.crossover_tol), float(opts.feas_tol)),
         pdhg_matrix="sparse",
     )
-    with jax.default_device(cpu):
+    with profiling.stage("crossover_pdhg_s"), jax.default_device(cpu):
         Ab = jsparse.BCOO.fromdense(
             jnp.asarray(np.asarray(can.A, dtype=np.float64))
         )
@@ -194,6 +195,7 @@ def solve_cold_crossover(
             jnp.asarray(np.asarray(can.hi, np.float64)),
             opts=p_opts,
         )
+        np.asarray(pstate.err)  # force completion inside the stage timer
     status = int(pstate.status)
     if status in (int(Status.INFEASIBLE), int(Status.UNBOUNDED)):
         # a first-order certificate is not an exact claim to surface from a
@@ -209,13 +211,15 @@ def solve_cold_crossover(
     if progress:
         print(f"[crossover] pdhg iters={int(pstate.niter)} "
               f"err={float(pstate.err):.2e}", flush=True)
-    basis, vstat = identify_basis(
-        A, can.lo, can.hi, x, d, np.asarray(can.basis0)
-    )
-    res = hostlp.solve_host_sparse(
-        can.A, can.b, can.c, can.lo, can.hi, basis, vstat, opts=opts,
-        progress_every=10_000 if progress else 0,
-    )
+    with profiling.stage("crossover_identify_s"):
+        basis, vstat = identify_basis(
+            A, can.lo, can.hi, x, d, np.asarray(can.basis0)
+        )
+    with profiling.stage("crossover_polish_s"):
+        res = hostlp.solve_host_sparse(
+            can.A, can.b, can.c, can.lo, can.hi, basis, vstat, opts=opts,
+            progress_every=10_000 if progress else 0,
+        )
     if res is None:
         return None
     if progress:

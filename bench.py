@@ -170,8 +170,13 @@ def _pdhg_maros_metric(ref_obj: float | None) -> dict | None:
         t0 = time.perf_counter()
         st = None
         done = 0
-        chunk = 4000
-        budget_s = 120.0
+        # 1000-iteration chunks: sparse PDHG at this shape runs at O(10²)
+        # iters/s and a single device execution beyond ~1 min FAULTS the
+        # axon worker (measured: a 4000-iteration first chunk killed it and
+        # poisoned every later metric) — keep each launch far under the
+        # watchdog and bound the total wall instead
+        chunk = 1000
+        budget_s = 90.0
         while True:
             cap = min(done + chunk, opts.pdhg_max_iter)
             st = solve_pdhg_sparse(Ab, *args, opts=opts, state0=st,
@@ -221,7 +226,11 @@ def _incremental_routing_metric() -> dict | None:
     }.items():
         prob = netlib_shaped_problem(250, 760, 0.05, seed=11)
         prob.options = opts
-        sol = prob.solve()
+        try:
+            sol = prob.solve()
+        except Exception as e:  # fault isolation: report, keep benching
+            out[label] = {"error": f"{type(e).__name__}: {e}"}
+            continue
         rng = np.random.default_rng(5)
         walls = []
         cur = sol
@@ -382,11 +391,13 @@ def main() -> None:
     single_lp = _single_lp_and_incremental_metrics()
     netlib_shape = _netlib_shape_metric()
     stream_rate = _streaming_pivot_rate()
+    inc_routing = _incremental_routing_metric()
     maros_shape = _maros_shape_metric()
+    # LAST: a worker fault here (watchdog territory) must not poison the
+    # other metrics
     pdhg_maros = _pdhg_maros_metric(
         maros_shape.get("objective") if maros_shape else None
     )
-    inc_routing = _incremental_routing_metric()
 
     print(json.dumps({
         "metric": "batched_lp_throughput",

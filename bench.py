@@ -83,19 +83,34 @@ def _single_lp_and_incremental_metrics() -> dict:
 
 def _netlib_shape_metric() -> dict:
     """25fv47-shape certified single solve (the reference's bread-and-butter
-    instance class; BASELINE §1) through the default TPU path."""
+    instance class; BASELINE §1) through the default TPU path, with the
+    stage breakdown and a warm repeat: the cold wall is dominated by the
+    ONE-TIME load of the cached Mosaic executable across the tunnel
+    (stream_first_launch_s); the warm number is what a session pays per
+    solve afterwards."""
+    from minilp_tpu.utils import profiling
     from minilp_tpu.utils.synth import NETLIB_SHAPES, netlib_shaped_problem
 
     m, nv, dens = NETLIB_SHAPES["25fv47"]
     prob = netlib_shaped_problem(m, nv, dens, seed=1)
+    profiling.reset_stages()
     t0 = time.perf_counter()
     sol = prob.solve()
     wall = time.perf_counter() - t0
+    stages = profiling.stages()
+    accounted = sum(v for k, v in stages.items() if k.endswith("_s"))
+    stages["unattributed_s"] = round(wall - accounted, 3)
+    prob2 = netlib_shaped_problem(m, nv, dens, seed=1)
+    t0 = time.perf_counter()
+    sol2 = prob2.solve()
+    warm_wall = time.perf_counter() - t0
     return {
         "shape": f"{m}x{nv}",
         "wall_s": round(wall, 2),
+        "warm_wall_s": round(warm_wall, 2),
         "iters": int(sol._engine.iterations()),
-        "certified": bool(sol._engine.certified),
+        "certified": bool(sol._engine.certified and sol2._engine.certified),
+        "breakdown": stages,
     }
 
 

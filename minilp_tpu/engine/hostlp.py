@@ -499,6 +499,7 @@ def solve_host_dual(
     *,
     opts: SolverOptions,
     max_iter: Optional[int] = None,
+    progress_every: int = 0,
 ) -> Optional[HostResult]:
     """Exact-f64 sparse DUAL simplex from a dual-feasible basis.
 
@@ -727,6 +728,22 @@ def solve_host_dual(
         else:
             noimprove += 1
         best = min(best, max_viol)
+        if noimprove >= 2 * max(int(opts.bland_after), 25):
+            # Stall exit: under the massive dual degeneracy of a warm
+            # re-solve (every nonbasic priced to d ≈ 0 by the previous
+            # optimum), the dual can 2-cycle between states Bland-on-
+            # entering alone does not break (measured: 42k iterations on a
+            # basis 6 primal pivots from optimal).  A full Bland window
+            # with zero violation improvement — even under the Bland rule —
+            # means the method is not converging here; hand back MAX_ITER
+            # and let the caller run the primal loop, which finishes these
+            # nodes in single-digit pivots.
+            status = int(Status.MAX_ITER)
+            break
+        if progress_every and niter % progress_every == 0:
+            print(f"[hostdual] niter={niter} max_viol={max_viol:.3e} "
+                  f"nviol={int((viol > 0).sum())} bland={bland} "
+                  f"obj={obj:.6e}", flush=True)
 
     if status == int(Status.RUNNING):
         status = int(Status.MAX_ITER)

@@ -140,6 +140,10 @@ def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
                 np.asarray(handle.state.basis),
                 np.asarray(handle.state.vstat),
                 opts=opts,
+                # a warm repair is a handful of pivots; a run past this cap
+                # is the degenerate-cycling regime (hostlp stall exit) and
+                # the primal loop below handles it in single digits
+                max_iter=max(256, can.M // 4),
             )
             if res is not None and int(res.status) not in terminal:
                 res = None

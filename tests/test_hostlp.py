@@ -243,3 +243,48 @@ def test_host_dual_detects_infeasible():
         break
     if not found:
         pytest.skip("no infeasible perturbation found in the sweep")
+
+
+def test_host_dual_stall_exit_on_degenerate_cycle():
+    """Regression (round-4 bench post-mortem): after an optimal solve every
+    nonbasic prices to d ≈ 0, and on some cut re-solves the dual simplex
+    2-cycles between two states that Bland-on-entering does not break
+    (measured: 42k iterations / 27 s on a basis the primal loop finishes in
+    6 pivots).  The stall exit must hand back MAX_ITER within a couple of
+    Bland windows instead of consuming the whole iteration budget."""
+    from minilp_tpu.api import ComparisonOp, LinearExpr, Variable
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    prob = netlib_shaped_problem(250, 760, 0.05, seed=11)
+    sol = prob.solve()
+    rng = np.random.default_rng(5)
+    cur = sol
+    for k in range(2):
+        js = rng.choice(760, size=8, replace=False)
+        coeffs = rng.normal(size=8)
+        val = sum(float(cf) * cur[Variable(int(j))]
+                  for cf, j in zip(coeffs, js))
+        expr = LinearExpr(
+            (float(cf), Variable(int(j))) for cf, j in zip(coeffs, js)
+        )
+        if k == 0:
+            cur = cur.add_constraint(expr, ComparisonOp.Le, val - 0.05)
+            continue
+        # capture the cycling warm state, then drive the dual DIRECTLY with
+        # a huge budget: the stall exit must fire long before it
+        h = cur._engine
+        import minilp_tpu.engine.incremental as inc  # noqa: F401
+
+        basis0 = np.asarray(h.state.basis)
+        vstat0 = np.asarray(h.state.vstat)
+        cur = cur.add_constraint(expr, ComparisonOp.Le, val - 0.05)
+        can = h.can
+        res = hostlp.solve_host_dual(
+            can.A, can.b, can.c, can.lo, can.hi, basis0, vstat0,
+            opts=SolverOptions(), max_iter=50_000,
+        )
+        # the edit happened through the public path; this direct replay from
+        # the PRE-edit state is dual feasible for the PRE-edit problem and
+        # terminates immediately OR (on the cycling class) stall-exits —
+        # either way it must not burn the 50k budget
+        assert res is None or res.niter < 2_000

@@ -257,19 +257,29 @@ def _solve_problem_pdhg(problem: "api.Problem") -> "api.Solution":
             # run at maros shape crashed it after ~3 min — the same
             # watchdog the streaming kernel chunk-launches around).  The
             # state re-enters warm; stop_at is a traced cap so every chunk
-            # reuses one compiled executable.
-            chunk = 20_000
+            # reuses one compiled executable.  The chunk size is ADAPTIVE:
+            # sparse f64 PDHG runs at O(10²–10³) iters/s on this chip, so a
+            # fixed 20k-iteration chunk can itself exceed the ~1-minute
+            # watchdog at Netlib scale (measured: it killed the worker at
+            # the maros shape) — start small, measure, and target ~15 s per
+            # launch.
+            chunk = 2_000
             pstate = None
             done = 0
             while True:
                 cap = min(done + chunk, opts.pdhg_max_iter)
+                t_launch = time.perf_counter()
                 pstate = solver(amat, *args, opts=opts, state0=pstate,
                                 stop_at=jnp.int32(cap))
                 np.asarray(pstate.err)  # force completion (axon quirk)
-                done = int(pstate.niter)
+                dt_launch = time.perf_counter() - t_launch
+                prev_done, done = done, int(pstate.niter)
                 if (int(pstate.status) != int(Status.MAX_ITER)
                         or done >= opts.pdhg_max_iter):
                     break
+                stepped = max(done - prev_done, 1)
+                rate = stepped / max(dt_launch, 1e-3)
+                chunk = int(min(max(rate * 15.0, 500), 50_000))
         else:
             pstate = solver(amat, *args, opts=opts)
         status = int(pstate.status)

@@ -74,12 +74,20 @@ def test_maros_r7_shape_pdhg_sparse():
     """PDHG sparse-BCOO path at the reference's biggest headline shape
     (SURVEY §8 Phase 5's pds-class pressure valve): 3136×9408 @ ~0.5%,
     capped iterations, ≤1e-5 relative objective agreement vs the oracle."""
+    import jax
+
     prob, obj = _instance("maros-r7", seed=3)
     prob.options = SolverOptions(
         engine="pdhg", feas_tol=1e-6, pdhg_matrix="sparse",
         pdhg_max_iter=400_000,
     )
-    sol = prob.solve()
+    # CPU-pinned: this is a CPU-scale correctness gate (~8 min at ~10³
+    # iters/s on the host).  On the chip, sparse f64 PDHG runs at ~20
+    # iters/s (segment-sum matvecs in emulated f64 — the wall-bounded
+    # bench line covers that story); 400k iterations there is hours and
+    # the round-4 chip-suite run proved it (worker watchdog casualty).
+    with jax.default_device(jax.devices("cpu")[0]):
+        sol = prob.solve()
     assert abs(sol.objective() - obj) <= 1e-5 * (1 + abs(obj))
 
 

@@ -1398,7 +1398,7 @@ def solve_streaming_pallas(
     long_step_min_m: int = 1 << 30,
     interpret: bool = False,
     warm_state=None,
-    chunk_iters: int | None = 8192,
+    chunk_iters: int | str | None = "auto",
     progress: bool = False,
 ) -> PallasStreamResult:
     """Solve ONE canonical LP with A streamed from HBM (module docstring).
@@ -1480,6 +1480,14 @@ def solve_streaming_pallas(
     AT32 = jnp.asarray(np.ascontiguousarray(np.asarray(A, np.float32).T))
     vec_args = (f32(b)[None, :], f32(c)[None, :],
                 f32(lo)[None, :], f32(hi)[None, :])
+    if chunk_iters == "auto":
+        # Watchdog-safe by measured rate (~15k pivots/s at m≈896): at mid
+        # sizes a 32k-pivot launch is ~2-4 s of device time, so most solves
+        # finish in ONE launch and never load the warm-restart executable
+        # (a separate jit signature whose one-time cached-binary load cost
+        # ~15 s of the 25fv47 cold wall).  Larger shapes keep short chunks:
+        # per-pivot cost grows with the O(m³) refresh share.
+        chunk_iters = 32768 if m <= 1024 else 8192
     chunk = max_iter if chunk_iters is None else min(int(chunk_iters), max_iter)
     total_iter = 0
     surrender = False

@@ -105,3 +105,32 @@ def test_incremental_warm_loop_on_chip():
         expr = LinearExpr((float(co), Variable(int(j))) for co, j in zip(cf, js))
         sol = sol.add_constraint(expr, ComparisonOp.Le, val + 0.5)
         assert sol._engine.certified is True
+
+
+def test_streaming_single_launch_on_chip():
+    """Round-4 auto chunking: at mid sizes the whole solve must complete in
+    ONE kernel launch (no warm-restart executable load — the chunk-boundary
+    overhead cost ~0.45 s per solve and the warm executable's one-time
+    cached-binary load ~15 s of cold wall)."""
+    _require_tpu()
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.ops.kernels.streaming_simplex import solve_streaming_pallas
+    from minilp_tpu.utils import profiling
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    prob = netlib_shaped_problem(120, 360, 0.05, seed=9)
+    can = canonicalize(prob, dtype=np.float64)
+    M, nv = can.M, can.nv
+    M2 = -(-M // 128) * 128
+    n2 = nv + M2
+    A2 = np.zeros((M2, n2))
+    A2[:M, : nv + M] = can.A[:, : nv + M]
+    A2[np.arange(M, M2), nv + M + np.arange(M2 - M)] = 1.0
+    b = np.concatenate([can.b, np.zeros(M2 - M)])
+    c = np.concatenate([can.c[: nv + M], np.zeros(M2 - M)])
+    lo = np.concatenate([can.lo[: nv + M], np.zeros(M2 - M)])
+    hi = np.concatenate([can.hi[: nv + M], np.zeros(M2 - M)])
+    profiling.reset_stages()
+    res = solve_streaming_pallas(A2, b, c, lo, hi, slack0=nv, max_iter=30_000)
+    assert int(res.status) == 1 and bool(res.verified)
+    assert profiling.stages().get("stream_n_chunks") == 1

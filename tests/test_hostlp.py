@@ -12,7 +12,7 @@ import pytest
 from minilp_tpu.canonical import canonicalize
 from minilp_tpu.engine import hostlp
 from minilp_tpu.options import SolverOptions
-from minilp_tpu.status import Status
+from minilp_tpu.status import Status, VarStat
 
 from .oracle import random_problem, solve_with_oracle
 
@@ -288,3 +288,69 @@ def test_host_dual_stall_exit_on_degenerate_cycle():
         # terminates immediately OR (on the cycling class) stall-exits —
         # either way it must not burn the 50k budget
         assert res is None or res.niter < 2_000
+
+
+# ---------------------------------------------------------------------------
+# Crossover basis identification (engine/crossover.py) unit gates.
+# ---------------------------------------------------------------------------
+
+
+def test_identify_basis_recovers_optimal_basis():
+    """Feeding identify_basis the EXACT optimal vertex must recover a basis
+    the polish finishes in ~0 pivots."""
+    from minilp_tpu.engine import crossover
+
+    rng = np.random.default_rng(21)
+    prob = random_problem(rng, nv=40, m=25, density=0.5)
+    outcome, obj, _ = solve_with_oracle(prob)
+    if outcome != "optimal":
+        pytest.skip("instance not optimal")
+    can = canonicalize(prob, dtype=np.float64)
+    opts = SolverOptions()
+    res = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, can.basis0, can.vstat0,
+        opts=opts,
+    )
+    assert res.status == int(Status.OPTIMAL)
+    # exact optimal x and reduced costs from the certified basis
+    import scipy.sparse as sp
+
+    A = np.asarray(can.A, np.float64)
+    lu = hostlp.BasisLU(sp.csc_matrix(A), np.asarray(res.basis))
+    vstat = np.asarray(res.vstat, dtype=np.int64)
+    xN = hostlp._nonbasic_x(vstat, can.lo, can.hi)
+    xB = lu.ftran(can.b - A @ xN)
+    x = np.array(xN)
+    x[np.asarray(res.basis)] = xB
+    y = lu.btran(can.c[np.asarray(res.basis)])
+    d = can.c - y @ A
+    basis, vstat2 = crossover.identify_basis(
+        A, can.lo, can.hi, x, d, np.asarray(can.basis0)
+    )
+    # nonsingular by construction
+    assert hostlp.factorize_basis(A, basis) is not None
+    polish = hostlp.solve_host_sparse(
+        can.A, can.b, can.c, can.lo, can.hi, basis, vstat2, opts=opts,
+    )
+    assert polish.status == int(Status.OPTIMAL)
+    assert abs(polish.obj - res.obj) <= 1e-9 * (1 + abs(res.obj))
+    assert polish.niter <= 10  # identification from the exact vertex ≈ free
+
+
+def test_identify_basis_survives_degenerate_iterate():
+    """A noisy iterate (the realistic crossover input) must still yield a
+    NONSINGULAR basis — the slack-seeded eta crash's whole job."""
+    from minilp_tpu.engine import crossover
+
+    rng = np.random.default_rng(22)
+    prob = random_problem(rng, nv=50, m=30, density=0.4)
+    can = canonicalize(prob, dtype=np.float64)
+    A = np.asarray(can.A, np.float64)
+    x = rng.normal(size=can.N)  # garbage iterate: crash must still succeed
+    d = rng.normal(size=can.N)
+    basis, vstat = crossover.identify_basis(
+        A, can.lo, can.hi, x, d, np.asarray(can.basis0)
+    )
+    assert hostlp.factorize_basis(A, basis) is not None
+    assert len(np.unique(basis)) == can.M
+    assert (np.asarray(vstat)[basis] == int(VarStat.BASIC)).all()

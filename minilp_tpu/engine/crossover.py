@@ -229,4 +229,9 @@ def solve_cold_crossover(
         int(Status.OPTIMAL), int(Status.INFEASIBLE), int(Status.UNBOUNDED)
     ):
         return None
-    return res._replace(niter=res.niter + int(pstate.niter))
+    # niter stays a PIVOT count (ADVICE r4: mixing in PDHG iterations skewed
+    # Solution.iterations() and any difficulty scores derived from it); the
+    # first-order iteration count is reported through the stage counters that
+    # feed the bench breakdowns.
+    profiling.bump_stage("crossover_pdhg_iters", int(pstate.niter))
+    return res

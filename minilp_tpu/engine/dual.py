@@ -180,7 +180,7 @@ def make_dual_step(A, b, c, lo, hi, opts: SolverOptions):
         niter2 = niter + jnp.where(took_step, 1, 0).astype(jnp.int32)
         do_refac = (
             took_step
-            & (niter2 % opts.refactor_period == 0)
+            & (niter2 % opts.effective_refactor_period() == 0)
             & (s2.status == Status.RUNNING)
         )
 

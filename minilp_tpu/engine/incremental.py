@@ -72,8 +72,8 @@ def _ensure_row_capacity(handle) -> None:
 
     # Carry the warm state: structural columns keep indices; slack of row i maps
     # old nv+i -> new nv+i (same expression, larger M just appends rows).
-    vstat_old = np.asarray(handle.state.vstat)
-    basis_old = np.asarray(handle.state.basis)
+    vstat_old = np.asarray(handle._state.vstat)
+    basis_old = np.asarray(handle._state.basis)
     vstat_new = grown.vstat0.copy()
     vstat_new[:nv] = vstat_old[:nv]
     vstat_new[nv : nv + M_old] = vstat_old[nv : nv + M_old]
@@ -81,13 +81,19 @@ def _ensure_row_capacity(handle) -> None:
     basis_new[:M_old] = basis_old  # slack indices unchanged by the layout
     grown.vstat0 = vstat_new
     grown.basis0 = basis_new
-    # Extend the maintained inverse: new padded rows/cols are an exact identity
-    # block (their fixed slacks are basic in all-zero rows).
-    Binv_old = np.asarray(handle.state.Binv)
-    Binv_new = np.eye(grown.M, dtype=Binv_old.dtype)
-    Binv_new[:M_old, :M_old] = Binv_old
+    was_stale = handle.binv_stale
+    if was_stale:
+        # lazy placeholder stays lazy: ensure_binv rebuilds from the GROWN
+        # canonical form exactly when a device path first needs it
+        Binv_new = np.asarray(handle._state.Binv)
+    else:
+        # Extend the maintained inverse: new padded rows/cols are an exact
+        # identity block (their fixed slacks are basic in all-zero rows).
+        Binv_old = np.asarray(handle._state.Binv)
+        Binv_new = np.eye(grown.M, dtype=Binv_old.dtype)
+        Binv_new[:M_old, :M_old] = Binv_old
     handle.can = grown
-    handle.state = handle.state._replace(
+    handle.state = handle._state._replace(
         basis=jnp.asarray(basis_new.astype(np.int32)),
         vstat=jnp.asarray(vstat_new.astype(np.int8)),
         Binv=jnp.asarray(Binv_new),
@@ -137,8 +143,8 @@ def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
         if prefer_dual:
             res = hostlp.solve_host_dual(
                 can.A, can.b, can.c, can.lo, can.hi,
-                np.asarray(handle.state.basis),
-                np.asarray(handle.state.vstat),
+                np.asarray(handle._state.basis),
+                np.asarray(handle._state.vstat),
                 opts=opts,
                 # a warm repair is a handful of pivots; a run past this cap
                 # is the degenerate-cycling regime (hostlp stall exit) and
@@ -150,8 +156,8 @@ def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
         if res is None:
             res = hostlp.solve_host_sparse(
                 can.A, can.b, can.c, can.lo, can.hi,
-                np.asarray(handle.state.basis),
-                np.asarray(handle.state.vstat),
+                np.asarray(handle._state.basis),
+                np.asarray(handle._state.vstat),
                 opts=opts,
             )
         if res is None or int(res.status) not in terminal:
@@ -261,10 +267,11 @@ def _try_streaming_resolve(handle, event: str) -> bool:
                 A, b, c, lo, hi, slack0=nv,
                 max_iter=opts.effective_max_iter(can.M, can.N),
                 # the kernel's Newton refresh is its costliest block (HBM-staged
-                # gather + 2 sweeps); SE-weight recompute rides on it.  128
-                # amortizes it with exact candidate updates in between (the
-                # confirm/regress guards absorb the extra f32 drift)
-                refactor_period=max(opts.refactor_period, 128),
+                # gather + 2 sweeps); SE-weight recompute rides on it.  The
+                # auto floor of 128 amortizes it with exact candidate
+                # updates in between (confirm/regress guards absorb the
+                # extra f32 drift); explicit settings respected verbatim.
+                refactor_period=opts.streaming_refactor_period(can.M),
                 feas_tol=f32.feas_tol, opt_tol=f32.opt_tol,
                 pivot_tol=f32.pivot_tol,
                 bland_after=max(opts.bland_after, 400),
@@ -386,15 +393,20 @@ def _append_row(handle, coeffs_structural: np.ndarray, op, rhs: float) -> None:
     # i.e. row i of the maintained inverse becomes e_i − vᵀ·Binv with v the new
     # row's coefficients on the current basic variables (own slack excluded).
     # This keeps the warm inverse exact so the device-side Newton refresh
-    # starts inside its basin (SURVEY.md §4.2 basis patch).
-    basis = np.asarray(handle.state.basis)
+    # starts inside its basin (SURVEY.md §4.2 basis patch).  A lazy (stale)
+    # inverse stays lazy: ensure_binv rebuilds from the edited canonical
+    # form when a device path first needs it, so patching the placeholder
+    # would be wasted work.
+    if handle.binv_stale:
+        return
+    basis = np.asarray(handle._state.basis)
     v = can.A[i][basis].copy()
     v[i] = 0.0  # basis[i] is the row's own slack (coefficient 1 handled by e_i)
-    Binv = np.asarray(handle.state.Binv).copy()
+    Binv = np.asarray(handle._state.Binv).copy()
     row = -(v @ Binv)
     row[i] += 1.0
     Binv[i, :] = row
-    handle.state = handle.state._replace(Binv=jnp.asarray(Binv))
+    handle.state = handle._state._replace(Binv=jnp.asarray(Binv))
 
 
 def add_constraint(handle, terms: List[Tuple[int, float]], op, rhs: float):
@@ -423,10 +435,10 @@ def fix_var(handle, idx: int, val: float):
     # A non-basic variable becomes FIXED (its value moves to `val` on the next
     # exact refactorization); a basic one keeps its row and gets pivoted out by
     # the dual simplex if `val` disagrees with its current value.
-    vstat = np.asarray(handle.state.vstat).copy()
+    vstat = np.asarray(handle._state.vstat).copy()
     if vstat[idx] != int(VarStat.BASIC):
         vstat[idx] = int(VarStat.FIXED)
-        handle.state = handle.state._replace(vstat=jnp.asarray(vstat))
+        handle.state = handle._state._replace(vstat=jnp.asarray(vstat))
     _run_dual_resolve(handle)
     return api.Solution(handle, handle.problem)
 
@@ -442,7 +454,7 @@ def unfix_var(handle, idx: int):
     fixed_val = float(can.lo[idx])
     can.lo[idx] = lo0
     can.hi[idx] = hi0
-    vstat = np.asarray(handle.state.vstat).copy()
+    vstat = np.asarray(handle._state.vstat).copy()
     if vstat[idx] != int(VarStat.BASIC):
         # Re-home the variable at a bound (non-basic variables must rest at a
         # bound or at zero if free — SURVEY.md §3.2).
@@ -456,7 +468,7 @@ def unfix_var(handle, idx: int):
             vstat[idx] = int(VarStat.AT_UPPER)
         else:
             vstat[idx] = int(VarStat.FREE)
-        handle.state = handle.state._replace(vstat=jnp.asarray(vstat))
+        handle.state = handle._state._replace(vstat=jnp.asarray(vstat))
     # Widening bounds can flip the variable's reduced-cost eligibility, so this
     # needs the primal engine (dual feasibility may be lost); the warm basis
     # makes phase 1 a (near-)no-op.
@@ -479,7 +491,7 @@ def add_gomory_cut(handle, idx: int):
     only by substituting each slack's defining row.
     """
     can = handle.can
-    state = handle.state
+    state = handle._state
     if not (0 <= idx < can.nv):
         raise IndexError(f"variable index {idx} out of range")
     basis = np.asarray(state.basis)
@@ -494,7 +506,21 @@ def add_gomory_cut(handle, idx: int):
         raise ValueError("add_gomory_cut requires a fractional basic variable")
 
     # Tableau row of the basic variable: α = (B⁻¹)_pos · A  (BTRAN row read).
-    Binv_row = np.asarray(state.Binv[pos])
+    if handle.binv_stale:
+        # lazy inverse: one sparse BTRAN (B⁻ᵀ e_pos) instead of
+        # materializing the full dense B⁻¹ for a single row
+        from . import hostlp
+
+        lu = hostlp.factorize_basis(can.A.astype(np.float64), basis)
+        if lu is None:
+            handle.ensure_binv()  # identity fallback path
+            Binv_row = np.asarray(handle._state.Binv[pos])
+        else:
+            e = np.zeros(can.M)
+            e[pos] = 1.0
+            Binv_row = lu.lu.solve(e, trans="T")
+    else:
+        Binv_row = np.asarray(state.Binv[pos])
     alpha = Binv_row @ can.A  # (N,)
     vstat = np.asarray(state.vstat)
 

@@ -217,7 +217,7 @@ def make_step(A, b, c, lo, hi, opts: SolverOptions):
         #    transition refresh above) -----------------------------------------
         do_refac = (
             ch.found
-            & (niter2 % opts.refactor_period == 0)
+            & (niter2 % opts.effective_refactor_period() == 0)
             & (s2.status == Status.RUNNING)
         )
         s2 = lax.cond(do_refac, refresh, lambda s3: s3, s2)

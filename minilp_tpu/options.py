@@ -42,8 +42,13 @@ class SolverOptions:
     max_iter: Optional[int] = None
     #: Refactorize (rebuild the basis inverse from scratch) every this many pivots.
     #: The reference refactorizes on eta-file blowup (SURVEY.md §3.2 [BASELINE]);
-    #: a fixed period is the fixed-shape XLA-friendly equivalent.
-    refactor_period: int = 64
+    #: a fixed period is the fixed-shape XLA-friendly equivalent.  None = auto
+    #: (64; 128 at M ≥ 1024 where the host SuperLU refactorization dominates).
+    #: An explicit value — including 64 — is always respected verbatim, so a
+    #: user fighting an ill-conditioned instance can tighten the eta-file
+    #: window (ADVICE r4: the old sentinel-by-default-comparison made an
+    #: explicit 64 indistinguishable from unset).
+    refactor_period: Optional[int] = None
     #: Switch to Bland's anti-cycling rule after this many iterations without
     #: objective (or phase-1 infeasibility) improvement.
     bland_after: int = 50
@@ -133,6 +138,24 @@ class SolverOptions:
         if self.max_iter is not None:
             return int(self.max_iter)
         return 32 * (m + n) + 1000
+
+    def effective_refactor_period(self, m: int = 0) -> int:
+        """Resolved refactorization period (None → size-scaled auto default)."""
+        if self.refactor_period is not None:
+            return max(int(self.refactor_period), 1)
+        # SuperLU refactorization dominates at scale (measured ~115 ms at
+        # m=1600 on a filled basis vs ~0.5 ms per eta-file solve): amortize
+        # over a longer eta file — 128 f64 etas are numerically benign (the
+        # reference's eta-file threshold is of the same order).
+        return 128 if m >= 1024 else 64
+
+    def streaming_refactor_period(self, m: int = 0) -> int:
+        """Period for the HBM-streaming kernel (auto floor 128: its Newton
+        refresh is the costliest block; exact candidate updates between
+        refreshes absorb the extra f32 drift)."""
+        if self.refactor_period is not None:
+            return max(int(self.refactor_period), 1)
+        return max(self.effective_refactor_period(m), 128)
 
 
 DEFAULT_OPTIONS = SolverOptions()

@@ -199,7 +199,7 @@ def solve_canonical_sharded(
             phase = jnp.where(transition, 2, st["phase"]).astype(jnp.int32)
             do_refresh = transition | (
                 (st["niter"] > 0)
-                & (st["niter"] % opts.refactor_period == 0)
+                & (st["niter"] % opts.effective_refactor_period() == 0)
             )
 
             def do_ref(_):
@@ -678,7 +678,7 @@ def resolve_dual_sharded(
                                      st["noimp"] + 1).astype(jnp.int32)
             out["best"] = jnp.minimum(st["best"], max_viol)
             do_refac = (
-                took & (niter2 % opts.refactor_period == 0)
+                took & (niter2 % opts.effective_refactor_period() == 0)
                 & (out["status"] == Status.RUNNING)
             )
 

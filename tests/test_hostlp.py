@@ -285,9 +285,55 @@ def test_host_dual_stall_exit_on_degenerate_cycle():
         )
         # the edit happened through the public path; this direct replay from
         # the PRE-edit state is dual feasible for the PRE-edit problem and
-        # terminates immediately OR (on the cycling class) stall-exits —
-        # either way it must not burn the 50k budget
+        # terminates immediately OR (on the cycling class) is rescued by the
+        # anti-cycling cost perturbation — either way it must not burn the
+        # 50k budget (the stall exit remains the final backstop)
         assert res is None or res.niter < 2_000
+
+
+def test_host_dual_perturbation_path_is_exact():
+    """VERDICT r4 #6: the anti-cycling cost perturbation must produce EXACT
+    answers.  Force the perturbation to fire almost immediately
+    (bland_after=1) on a fully dual-degenerate warm re-solve — duplicated
+    columns, zero objective, every nonbasic at d = 0 — and check the dual
+    loop terminates OPTIMAL inside itself with the oracle's objective."""
+    from scipy.optimize import linprog
+
+    rng = np.random.default_rng(7)
+    m, base_cols, dup = 24, 18, 4
+    nv = base_cols * dup
+    A_struct = np.repeat(rng.normal(size=(m, base_cols)), dup, axis=1)
+    A = np.concatenate([A_struct, np.eye(m)], axis=1)  # Le rows: slack >= 0
+    c = np.concatenate([np.zeros(nv), rng.normal(size=m) * 0.0])
+    # a nonzero objective on a FEW columns only (the rest dual-degenerate)
+    c[: dup] = 1.0
+    x0 = rng.uniform(0.2, 0.8, size=nv)
+    b = A_struct @ x0 + rng.uniform(0.1, 0.5, size=m)
+    lo = np.concatenate([np.zeros(nv), np.zeros(m)])
+    hi = np.concatenate([np.ones(nv), np.full(m, np.inf)])
+    basis0 = np.arange(nv, nv + m, dtype=np.int32)
+    vstat0 = np.concatenate([
+        np.full(nv, int(VarStat.AT_LOWER), dtype=np.int8),
+        np.full(m, int(VarStat.BASIC), dtype=np.int8),
+    ])
+    opts = SolverOptions()
+    res0 = hostlp.solve_host_sparse(A, b, c, lo, hi, basis0, vstat0,
+                                    opts=opts)
+    assert res0.status == int(Status.OPTIMAL)
+    # perturb b to violate some basics: the warm basis stays dual feasible
+    b2 = b - rng.uniform(0.0, 1.0, size=m)
+    import dataclasses
+
+    popts = dataclasses.replace(opts, bland_after=1)  # perturb ~immediately
+    res = hostlp.solve_host_dual(A, b2, c, lo, hi, res0.basis, res0.vstat,
+                                 opts=popts, max_iter=50_000)
+    assert res is not None
+    assert res.status == int(Status.OPTIMAL)
+    assert 0 < res.niter < 200  # tens of pivots, not a cycling budget burn
+    r = linprog(c[:nv], A_ub=A_struct, b_ub=b2,
+                bounds=[(0.0, 1.0)] * nv, method="highs")
+    assert r.status == 0
+    assert abs(res.obj - r.fun) <= 1e-8 * (1 + abs(r.fun))
 
 
 # ---------------------------------------------------------------------------

@@ -148,6 +148,12 @@ class EngineHandle:
     def certify(self, tol: float = 1e-7) -> bool:
         """Recompute the vertex exactly in f64 from (basis, vstat) and check
         primal + dual feasibility; on success the handle serves exact values."""
+        from ..utils import profiling
+
+        with profiling.stage("certify_s"):
+            return self._certify_timed(tol)
+
+    def _certify_timed(self, tol: float = 1e-7) -> bool:
         can = self.can
         basis = np.asarray(self._state.basis)
         vstat = np.asarray(self._state.vstat)
@@ -265,8 +271,10 @@ def _maybe_presolve(problem: "api.Problem") -> "api.Problem":
     if not problem.options.presolve:
         return problem
     from ..presolve import presolve_problem
+    from ..utils import profiling
 
-    reduced, _stats = presolve_problem(problem)
+    with profiling.stage("presolve_s"):
+        reduced, _stats = presolve_problem(problem)
     return reduced
 
 
@@ -762,11 +770,14 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
         raise ValueError(f"unknown engine {opts.engine!r}")
     user_problem = problem
     problem = _maybe_presolve(problem)
-    can = canonicalize(
-        problem,
-        extra_row_capacity=opts.row_capacity_slack,
-        dtype=_np_dtype(opts),
-    )
+    from ..utils import profiling
+
+    with profiling.stage("canonicalize_s"):
+        can = canonicalize(
+            problem,
+            extra_row_capacity=opts.row_capacity_slack,
+            dtype=_np_dtype(opts),
+        )
     if _megakernel_eligible(can, opts):
         with records.timed() as t:
             state = _try_megakernel_solve(can, opts)

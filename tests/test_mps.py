@@ -209,3 +209,90 @@ def test_read_mps_native_flag(tmp_path):
     sol = mp.problem.solve()
     outcome, obj, _ = solve_with_oracle(mp.problem)
     assert rel_close(sol.objective(), obj)
+
+
+# ---------------------------------------------------------------------------
+# write_mps round-trip gates (VERDICT r4 #9): exercise C7 end-to-end despite
+# the absent Netlib data — a synthetic Problem goes out through the writer
+# (BOUNDS vocabulary included), back through the reader, and both solve to
+# the same certified objective.
+# ---------------------------------------------------------------------------
+
+
+def test_write_mps_roundtrip_netlib_shaped():
+    from minilp_tpu.io.mps import write_mps
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    prob = netlib_shaped_problem(40, 90, 0.1, seed=5)
+    text = write_mps(prob)
+    back = parse_mps(text).problem
+    obj1 = prob.solve().objective()
+    obj2 = back.solve().objective()
+    assert rel_close(obj2, obj1, 1e-8)
+
+
+def test_write_mps_roundtrip_mixed_bounds_and_maximize():
+    """FR/MI/FX/UP/LO bounds and the OBJSENSE MAX section survive the trip."""
+    import numpy as np
+
+    from minilp_tpu import LinearExpr, Problem
+    from minilp_tpu.io.mps import write_mps
+    from minilp_tpu.utils.synth import mixed_bounds_problem
+
+    prob = mixed_bounds_problem(24, 60, 0.2, seed=2)
+    text = write_mps(prob)
+    assert " FR BND" in text and " MI BND" in text and " FX BND" in text
+    back = parse_mps(text).problem
+    outcome, ref, _ = solve_with_oracle(prob)
+    if outcome != "optimal":
+        pytest.skip(f"oracle outcome {outcome}")
+    assert rel_close(prob.solve().objective(), ref, 1e-7)
+    assert rel_close(back.solve().objective(), ref, 1e-7)
+
+    # maximize direction via OBJSENSE
+    mx = Problem(OptimizationDirection.Maximize)
+    x = mx.add_var(1.0, (0.0, 2.0))
+    y = mx.add_var(1.5, (0.0, 3.0))
+    mx.add_constraint(
+        LinearExpr([(1.0, x), (1.0, y)]), ComparisonOp.Le, 4.0
+    )
+    text = write_mps(mx)
+    assert "OBJSENSE" in text
+    back = parse_mps(text).problem
+    assert rel_close(back.solve().objective(), mx.solve().objective(), 1e-10)
+
+
+def test_write_mps_ranges_roundtrip():
+    """A RANGES entry emitted by the writer expands to the documented
+    two-sided row on re-read, and the solved objective matches the manually
+    double-constrained equivalent."""
+    from minilp_tpu import LinearExpr, Problem
+    from minilp_tpu.io.mps import write_mps
+
+    def base():
+        p = Problem(OptimizationDirection.Minimize)
+        x = p.add_var(1.0, (0.0, 10.0))
+        y = p.add_var(-2.0, (0.0, 10.0))
+        p.add_constraint(
+            LinearExpr([(1.0, x), (2.0, y)]), ComparisonOp.Le, 8.0
+        )
+        p.add_constraint(
+            LinearExpr([(1.0, x), (-1.0, y)]), ComparisonOp.Ge, -3.0
+        )
+        return p, x, y
+
+    # L row with range r: [rhs - |r|, rhs]; G row with range r: [rhs, rhs+|r|]
+    prob, x, y = base()
+    text = write_mps(prob, ranges={0: 5.0, 1: 2.0})
+    mp = parse_mps(text)
+    assert len(mp.rows["R0"]) == 2 and len(mp.rows["R1"]) == 2
+    manual, mx_, my_ = base()
+    manual.add_constraint(
+        LinearExpr([(1.0, mx_), (2.0, my_)]), ComparisonOp.Ge, 3.0
+    )
+    manual.add_constraint(
+        LinearExpr([(1.0, mx_), (-1.0, my_)]), ComparisonOp.Le, -1.0
+    )
+    assert rel_close(
+        mp.problem.solve().objective(), manual.solve().objective(), 1e-9
+    )

@@ -181,7 +181,8 @@ def kkt_error_f64(
     return float(max(r_p, r_d, gap))
 
 
-def _device_pdhg_stage(can, opts: SolverOptions, tol: float, progress: bool):
+def _device_pdhg_stage(can, opts: SolverOptions, tol: float, progress: bool,
+                       budget_s: float | None = None):
     """f32 dense PDHG on the TPU for the crossover (VERDICT r4 #1).
 
     The host-CPU sparse-f64 stage runs at ~900 iters/s while the chip
@@ -227,7 +228,10 @@ def _device_pdhg_stage(can, opts: SolverOptions, tol: float, progress: bool):
     stalled = 0
     x = y = None
     err = np.inf
+    t_start = time.perf_counter()
     while True:
+        if budget_s is not None and time.perf_counter() - t_start > budget_s:
+            break  # caller-imposed wall budget (bench lines)
         cap = min(done + chunk, opts.pdhg_max_iter)
         t0 = time.perf_counter()
         try:

@@ -134,3 +134,62 @@ def test_streaming_single_launch_on_chip():
     res = solve_streaming_pallas(A2, b, c, lo, hi, slack0=nv, max_iter=30_000)
     assert int(res.status) == 1 and bool(res.verified)
     assert profiling.stages().get("stream_n_chunks") == 1
+
+
+def test_device_pdhg_stage_on_chip():
+    """The crossover's TPU stage (VERDICT r4 #1): dense f32 PDHG chunks on
+    the chip must reach a host-f64-verified KKT neighborhood on a mid-size
+    feasible instance."""
+    _require_tpu()
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.engine.crossover import _device_pdhg_stage, kkt_error_f64
+    from minilp_tpu.options import SolverOptions
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    prob = netlib_shaped_problem(120, 360, 0.05, seed=9)
+    can = canonicalize(prob, dtype=np.float64)
+    opts = SolverOptions()
+    tol = max(opts.crossover_tol, opts.feas_tol)
+    out = _device_pdhg_stage(can, opts, tol, progress=False)
+    assert out is not None
+    x, y, niter, err, _omega = out
+    assert niter > 0
+    # the returned err must BE the exact f64 KKT of the returned iterate
+    err2 = kkt_error_f64(can.A, can.b, can.c, can.lo, can.hi, x, y, tol)
+    assert abs(err - err2) <= 1e-12 * (1 + err2)
+    assert err <= 1e-2  # at worst the f32 floor; typically <= tol
+
+
+def test_streaming_refresh_paths_agree_on_chip():
+    """Resident-BT fused refresh vs HBM-staged refresh: identical pivots on
+    REAL hardware (the interpret gate cannot see Mosaic lowering bugs)."""
+    _require_tpu()
+    from minilp_tpu.canonical import canonicalize
+    from minilp_tpu.ops.kernels.streaming_simplex import solve_streaming_pallas
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    prob = netlib_shaped_problem(120, 360, 0.05, seed=9)
+    can = canonicalize(prob, dtype=np.float64)
+    M, nv = can.M, can.nv
+    M2 = -(-M // 128) * 128
+    n2 = nv + M2
+    A2 = np.zeros((M2, n2))
+    A2[:M, : nv + M] = can.A[:, : nv + M]
+    A2[np.arange(M, M2), nv + M + np.arange(M2 - M)] = 1.0
+    b = np.concatenate([can.b, np.zeros(M2 - M)])
+    c = np.concatenate([can.c[: nv + M], np.zeros(M2 - M)])
+    lo = np.concatenate([can.lo[: nv + M], np.zeros(M2 - M)])
+    hi = np.concatenate([can.hi[: nv + M], np.zeros(M2 - M)])
+    outs = [
+        solve_streaming_pallas(
+            A2, b, c, lo, hi, slack0=nv, max_iter=50_000,
+            b_resident=br, refactor_period=64,
+        )
+        for br in (False, True)
+    ]
+    assert int(outs[0].status) == int(outs[1].status) == 1
+    assert int(outs[0].niter) == int(outs[1].niter)
+    np.testing.assert_array_equal(
+        np.asarray(outs[0].basis), np.asarray(outs[1].basis)
+    )
+    assert bool(outs[0].verified) and bool(outs[1].verified)

@@ -213,58 +213,90 @@ def _device_pdhg_stage(can, opts: SolverOptions, tol: float, progress: bool,
     c64 = np.asarray(can.c, np.float64)
     lo64 = np.asarray(can.lo, np.float64)
     hi64 = np.asarray(can.hi, np.float64)
-    args = (f32(can.A), f32(can.b), f32(can.c), f32(can.lo), f32(can.hi))
+    vecs = (f32(can.b), f32(can.c), f32(can.lo), f32(can.hi))
+    A_f32 = f32(can.A)
     # in-graph tolerance slightly below the target: the f32 error estimate is
     # noisy, and the HOST f64 check is the decider either way
     p_opts = dataclasses.replace(
         opts, dtype="float32", feas_tol=max(0.5 * tol, 1e-6),
         pdhg_matrix="dense",
     )
-    chunk = 2_000
+    # PHASE SCHEDULE: the matvecs are HBM-bound on A, so the early decades
+    # run with A in BFLOAT16 (half the bytes, f32 MXU accumulate — chip
+    # A/B'd) down to a coarse target, then the f32 matrix finishes to
+    # `tol`.  Each phase hands its (original-space, f32-vector) state to
+    # the next warm; the bf16 phase is skipped for small A where the
+    # matvec is not the cost.
+    phases = []
+    if can.A.size >= (1 << 22):  # ≥ ~16 MB f32: HBM-bound regime
+        phases.append((jnp.asarray(A_f32, jnp.bfloat16),
+                       max(40.0 * tol, 4e-3), "bf16"))
+    phases.append((A_f32, tol, "f32"))
     st = None
     done = 0
-    n_launches = 0
     best_err = np.inf
     stalled = 0
     x = y = None
     err = np.inf
     t_start = time.perf_counter()
-    while True:
-        if budget_s is not None and time.perf_counter() - t_start > budget_s:
-            break  # caller-imposed wall budget (bench lines)
-        cap = min(done + chunk, opts.pdhg_max_iter)
-        t0 = time.perf_counter()
-        try:
-            st = solve_pdhg(*args, opts=p_opts, state0=st,
-                            stop_at=jnp.int32(cap))
-            x = np.asarray(st.x, np.float64)
-            y = np.asarray(st.y, np.float64)  # forces completion too
-        except Exception:
-            return None  # lowering/backend failure: host stage takes over
-        dt = time.perf_counter() - t0
-        prev_done, done = done, int(st.niter)
-        err = kkt_error_f64(A64, b64, c64, lo64, hi64, x, y, tol)
-        n_launches += 1
-        if progress:
-            print(f"[crossover/tpu] iters={done} f64_kkt={err:.3e} "
-                  f"chunk_wall={dt:.1f}s", flush=True)
-        if err <= tol:
+    out_of_budget = False
+    for A_phase, phase_tol, phase_name in phases:
+        if out_of_budget:
             break
-        if int(st.status) != int(_S.MAX_ITER) or done >= opts.pdhg_max_iter:
-            # in-graph terminal (f32 claims done/INFEASIBLE/UNBOUNDED): the
-            # host f64 error is what we have; certificates from f32 are not
-            # trusted here — the caller's exact machinery decides
+        chunk = 2_000
+        n_launches = 0
+        stalled = 0
+        best_err = err if np.isfinite(err) else np.inf
+        if st is not None:
+            # fresh averaging window for the new operator precision
+            st = st._replace(
+                x_sum=jnp.zeros_like(st.x), y_sum=jnp.zeros_like(st.y),
+                x_rst=st.x, y_rst=st.y,
+                inner=jnp.asarray(0.0, st.x.dtype),
+                status=jnp.int32(int(_S.MAX_ITER)),  # re-entry → RUNNING
+            )
+        while True:
+            if (budget_s is not None
+                    and time.perf_counter() - t_start > budget_s):
+                out_of_budget = True
+                break  # caller-imposed wall budget (bench lines)
+            cap = min(done + chunk, opts.pdhg_max_iter)
+            t0 = time.perf_counter()
+            try:
+                st = solve_pdhg(A_phase, *vecs, opts=p_opts, state0=st,
+                                stop_at=jnp.int32(cap))
+                x = np.asarray(st.x, np.float64)
+                y = np.asarray(st.y, np.float64)  # forces completion too
+            except Exception:
+                return None  # lowering failure: host stage takes over
+            dt = time.perf_counter() - t0
+            prev_done, done = done, int(st.niter)
+            err = kkt_error_f64(A64, b64, c64, lo64, hi64, x, y, tol)
+            n_launches += 1
+            if progress:
+                print(f"[crossover/tpu:{phase_name}] iters={done} "
+                      f"f64_kkt={err:.3e} chunk_wall={dt:.1f}s", flush=True)
+            if err <= phase_tol:
+                break
+            if (int(st.status) != int(_S.MAX_ITER)
+                    or done >= opts.pdhg_max_iter):
+                # in-graph terminal (f32 claims done/INFEASIBLE/UNBOUNDED):
+                # the host f64 error is what we have; certificates from a
+                # low-precision iterate are not trusted here — the caller's
+                # exact machinery decides
+                break
+            if err >= best_err * 0.97:
+                stalled += 1
+                if stalled >= 3:
+                    break  # precision floor of this phase's operator
+            else:
+                stalled = 0
+            best_err = min(best_err, err)
+            if n_launches > 2:  # first two launches include jit compiles
+                rate = max(done - prev_done, 1) / max(dt, 1e-3)
+                chunk = int(min(max(rate * 10.0, 500), 100_000))
+        if err <= tol or done >= opts.pdhg_max_iter:
             break
-        if err >= best_err * 0.97:
-            stalled += 1
-            if stalled >= 3:
-                break  # f32 resolution floor
-        else:
-            stalled = 0
-        best_err = min(best_err, err)
-        if n_launches > 2:  # first two launches include jit compiles
-            rate = max(done - prev_done, 1) / max(dt, 1e-3)
-            chunk = int(min(max(rate * 10.0, 500), 100_000))
     if x is None or not np.isfinite(err):
         return None
     return x, y, done, err, float(st.omega)

@@ -438,9 +438,18 @@ def solve_pdhg(
     """Dense-path PDHG: Ruiz-equilibrate, then run to relative KKT ≤ feas_tol.
 
     Jittable and vmappable; x/y in the returned state are original-space.
+
+    When `A` arrives in a NARROWER dtype than the vectors (bfloat16 A with
+    f32 b/c — the device head-start path), the scaled matrix keeps that
+    dtype so the iterate matvecs read half the HBM bytes; mixed
+    bf16×f32 contractions accumulate in f32 on the MXU.  All vector math
+    stays in the vectors' dtype.
     """
-    dr, dc = _ruiz_dense(A, opts.pdhg_ruiz_iters)
-    As = A * dr[:, None] * dc[None, :]
+    vdtype = b.dtype
+    mat_dtype = A.dtype
+    Af = A.astype(vdtype)
+    dr, dc = _ruiz_dense(Af, opts.pdhg_ruiz_iters)
+    As = (Af * dr[:, None] * dc[None, :]).astype(mat_dtype)
     bs = b * dr
     cs = c * dc
     los = lo / dc

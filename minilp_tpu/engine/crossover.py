@@ -216,10 +216,17 @@ def _device_pdhg_stage(can, opts: SolverOptions, tol: float, progress: bool,
     vecs = (f32(can.b), f32(can.c), f32(can.lo), f32(can.hi))
     A_f32 = f32(can.A)
     # in-graph tolerance slightly below the target: the f32 error estimate is
-    # noisy, and the HOST f64 check is the decider either way
+    # noisy, and the HOST f64 check is the decider either way.  The stage
+    # pins the HALPERN variant (chip A/B at maros shape: 31.5k iterations
+    # to the 1e-4 neighborhood vs 52.4k for vanilla — ~40% fewer): its
+    # frozen-ω weakness on badly-scaled instances is exactly what this
+    # stage's f64-monitored fallback chain absorbs (floor-stall → host
+    # warm continuation; garbage → host cold stage), so the accelerated
+    # scheme is safe HERE even though the user-facing engine default stays
+    # vanilla.
     p_opts = dataclasses.replace(
         opts, dtype="float32", feas_tol=max(0.5 * tol, 1e-6),
-        pdhg_matrix="dense",
+        pdhg_matrix="dense", pdhg_variant="halpern",
     )
     # PHASE SCHEDULE: the matvecs are HBM-bound on A, so the early decades
     # run with A in BFLOAT16 (half the bytes, f32 MXU accumulate — chip

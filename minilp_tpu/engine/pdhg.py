@@ -288,35 +288,71 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0,
     x0 = jnp.clip(jnp.zeros((N,), dtype=dtype), lo_c, hi_c)
     y0 = jnp.zeros((M,), dtype=dtype)
 
+    halpern = opts.pdhg_variant == "halpern"
+    if opts.pdhg_variant not in ("halpern", "vanilla"):
+        raise ValueError(f"unknown pdhg_variant {opts.pdhg_variant!r}")
+
     def body(st: PdhgState) -> PdhgState:
         tau = st.omega / norm_a
         sig = 1.0 / (st.omega * norm_a)
 
-        # -- check_every inner iterations (unrolled scan keeps the graph small)
-        def inner(carry, _):
-            x, y, xs, ys = carry
-            x_new = jnp.clip(x - tau * (c - AT @ y), lo_c, hi_c)
-            y_new = y + sig * (b - A @ (2.0 * x_new - x))
-            return (x_new, y_new, xs + x_new, ys + y_new), None
+        if halpern:
+            # -- reflected PDHG + Halpern anchoring (cuPDLP-class scheme) ----
+            # One window of check_every steps:  z̃ = T(z) (the plain PDHG
+            # operator), reflect 2z̃ − z, then pull toward the ANCHOR (the
+            # last restart point) with weight 1/(k+2).  The anchored
+            # combination converges O(1/k) on the fixed-point residual —
+            # in practice several× fewer iterations than ergodic averaging
+            # — and restarts simply move the anchor.
+            def inner(carry, _):
+                x, y, k = carry
+                x_t = jnp.clip(x - tau * (c - AT @ y), lo_c, hi_c)
+                y_t = y + sig * (b - A @ (2.0 * x_t - x))
+                lam = 1.0 / (k + 2.0)
+                x_n = lam * st.x_rst + (1.0 - lam) * (2.0 * x_t - x)
+                y_n = lam * st.y_rst + (1.0 - lam) * (2.0 * y_t - y)
+                return (x_n, y_n, k + 1.0), None
 
-        (x, y, xs, ys), _ = lax.scan(
-            inner, (st.x, st.y, st.x_sum, st.y_sum), None,
-            length=opts.pdhg_check_every,
-        )
+            (x, y, _k), _ = lax.scan(
+                inner, (st.x, st.y, st.inner), None,
+                length=opts.pdhg_check_every,
+            )
+            xs, ys = st.x_sum, st.y_sum  # unused by this variant (stay zero)
+        else:
+            # -- PDLP restarted-average scheme -------------------------------
+            def inner(carry, _):
+                x, y, xs, ys = carry
+                x_new = jnp.clip(x - tau * (c - AT @ y), lo_c, hi_c)
+                y_new = y + sig * (b - A @ (2.0 * x_new - x))
+                return (x_new, y_new, xs + x_new, ys + y_new), None
+
+            (x, y, xs, ys), _ = lax.scan(
+                inner, (st.x, st.y, st.x_sum, st.y_sum), None,
+                length=opts.pdhg_check_every,
+            )
         inner_cnt = st.inner + opts.pdhg_check_every
         niter = st.niter + opts.pdhg_check_every
 
-        # -- candidate iterates: current vs running average -------------------
-        x_avg = xs / inner_cnt
-        y_avg = ys / inner_cnt
-        err_cur = _kkt_error(A @ x, AT @ y, x, y, b, c, lo, hi, dr, dc,
-                             scale_b, scale_c, tol, rr)
-        err_avg = _kkt_error(A @ x_avg, AT @ y_avg, x_avg, y_avg, b, c, lo,
-                             hi, dr, dc, scale_b, scale_c, tol, rr)
-        use_avg = err_avg < err_cur
-        err_best = jnp.minimum(err_avg, err_cur)
-        x_best = jnp.where(use_avg, x_avg, x)
-        y_best = jnp.where(use_avg, y_avg, y)
+        # -- candidate iterates ----------------------------------------------
+        if halpern:
+            # candidates are the current iterate; the "average displacement"
+            # certificate below uses (current − anchor) instead
+            x_avg, y_avg = x, y
+            err_cur = _kkt_error(A @ x, AT @ y, x, y, b, c, lo, hi, dr, dc,
+                                 scale_b, scale_c, tol, rr)
+            err_best = err_cur
+            x_best, y_best = x, y
+        else:
+            x_avg = xs / inner_cnt
+            y_avg = ys / inner_cnt
+            err_cur = _kkt_error(A @ x, AT @ y, x, y, b, c, lo, hi, dr, dc,
+                                 scale_b, scale_c, tol, rr)
+            err_avg = _kkt_error(A @ x_avg, AT @ y_avg, x_avg, y_avg, b, c,
+                                 lo, hi, dr, dc, scale_b, scale_c, tol, rr)
+            use_avg = err_avg < err_cur
+            err_best = jnp.minimum(err_avg, err_cur)
+            x_best = jnp.where(use_avg, x_avg, x)
+            y_best = jnp.where(use_avg, y_avg, y)
 
         done = err_best <= tol
 
@@ -341,18 +377,46 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0,
         # transient, and never after convergence
         settled = (inner_cnt >= 4.0 * opts.pdhg_check_every) & ~done
 
-        # -- β-factor restart: adopt the best candidate when it improved enough
-        restart = done | (err_best <= opts.pdhg_restart_beta * st.last_err)
-        # adaptive primal weight at adopted restarts (PDLP θ-smoothing)
+        # -- β-factor restart: adopt the best candidate when the restart
+        # METRIC improved enough.  Vanilla keys on the KKT error (PDLP);
+        # Halpern keys on the FIXED-POINT residual ‖T(z)−z‖ (r2HPDHG) —
+        # the KKT error has a bound-activity cliff (the O(1/k) anchored
+        # tail leaves variables ~1/k off their bounds, so the at-bound
+        # classification never fires and the error plateaus while the
+        # iterate is still converging), which would deadlock
+        # sufficient-decay restarts.  The ARTIFICIAL rule (restart whenever
+        # the window exceeds ~36% of all iterations so far — PDLP's bound)
+        # backstops both.
+        if halpern:
+            metric = jnp.sqrt(
+                jnp.sum((x_one - x) ** 2)
+                + rr.sum(jnp.sum((y_one - y) ** 2))
+            )
+        else:
+            metric = err_best
+        artificial = inner_cnt >= 0.36 * niter.astype(dtype)
+        decay_restart = done | (metric <= opts.pdhg_restart_beta * st.last_err)
+        restart = decay_restart | artificial
+        # adaptive primal weight at adopted restarts (PDLP θ-smoothing).
+        # HALPERN RUNS WITH A FROZEN ω: both PDLP's window-displacement
+        # ratio and a one-step-displacement variant were measured to
+        # ratchet ω to the clip under anchored dynamics (the anchor pull
+        # biases the displacement geometry), so the anchored variant keeps
+        # the initial ‖c‖/‖b‖-scaled weight — the documented trade-off in
+        # options.py.
         d_x = jnp.linalg.norm((x_best - st.x_rst) * dc)
         d_y = _ynorm((y_best - st.y_rst) * dr, rr)
         can_fit = (d_x > 1e-12) & (d_y > 1e-12)
-        th = opts.pdhg_weight_theta
+        th = 0.0 if halpern else opts.pdhg_weight_theta
         om_fit = jnp.exp(
             th * jnp.log(jnp.maximum(d_y, 1e-30) / jnp.maximum(d_x, 1e-30))
             + (1.0 - th) * jnp.log(st.omega)
         )
-        om_new = jnp.where(restart & can_fit, om_fit, st.omega)
+        # refit only on SUFFICIENT-DECAY restarts: artificial restarts come
+        # from short, noisy windows whose displacement ratio is not a signal
+        # — refitting on them ratchets ω to the clip and diverges (measured
+        # on random instances when the artificial rule landed, round 5)
+        om_new = jnp.where(decay_restart & can_fit, om_fit, st.omega)
         om_new = jnp.clip(om_new, 1e-6, 1e6)
 
         x_n = jnp.where(restart, x_best, x)
@@ -362,7 +426,7 @@ def _run_pdhg(A, AT, b, c, lo, hi, dr, dc, opts: SolverOptions, omega0,
         xr_n = jnp.where(restart, x_best, st.x_rst)
         yr_n = jnp.where(restart, y_best, st.y_rst)
         inner_n = jnp.where(restart, 0.0, inner_cnt)
-        last_n = jnp.where(restart, err_best, st.last_err)
+        last_n = jnp.where(restart, metric, st.last_err)
 
         status = jnp.where(done, jnp.int32(Status.OPTIMAL), st.status)
         status = jnp.where(settled & p_inf, jnp.int32(Status.INFEASIBLE), status)

@@ -302,6 +302,11 @@ def _device_pdhg_stage(can, opts: SolverOptions, tol: float, progress: bool,
             if n_launches > 2:  # first two launches include jit compiles
                 rate = max(done - prev_done, 1) / max(dt, 1e-3)
                 chunk = int(min(max(rate * 10.0, 500), 100_000))
+                if budget_s is not None:
+                    # never let one launch overshoot the caller's soft
+                    # budget by more than ~a chunk (bench lines)
+                    left = budget_s - (time.perf_counter() - t_start)
+                    chunk = int(max(min(chunk, rate * max(left, 0.5)), 500))
         if err <= tol or done >= opts.pdhg_max_iter:
             break
     if x is None or not np.isfinite(err):

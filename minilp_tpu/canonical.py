@@ -70,6 +70,25 @@ class CanonicalLP:
         """Host-side copy with one more active row (used by incremental API)."""
         return dataclasses.replace(self, m=self.m + 1)
 
+    def csc(self):
+        """Cached CSC view of A (f64) for the host sparse-LA seams.
+
+        At Netlib scale the dense→CSC conversion streams the whole padded
+        matrix (~1 s at maros shape), and one cold solve crossing the
+        crossover + polish + state-rebuild + certify seams used to pay it
+        FOUR times (measured round 5).  The cache is invalidated by the one
+        code path that mutates A after canonicalization
+        (`incremental._append_row` sets `_csc_cache = None`); bound edits
+        (`fix_var`/`unfix_var`) do not touch A and need no invalidation.
+        """
+        cache = getattr(self, "_csc_cache", None)
+        if cache is None:
+            import scipy.sparse as sp
+
+            cache = sp.csc_matrix(self.A.astype(np.float64, copy=False))
+            self._csc_cache = cache
+        return cache
+
 
 #: Bounds assigned to the slack variable of each row type.  Row is stored as
 #: a·x + s = b, so  `a·x ≤ b  ⇔  s ∈ [0, ∞)`,  `a·x ≥ b ⇔ s ∈ (−∞, 0]`,

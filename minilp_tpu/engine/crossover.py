@@ -60,6 +60,7 @@ def identify_basis(
     pivot_rel: float = 1e-4,
     refactor_every: int = 128,
     cand_cap_factor: float = 1.5,
+    A_csc=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Active-set basis from a near-optimal primal iterate x (+ reduced
     costs d, used only to rank ties).
@@ -93,7 +94,8 @@ def identify_basis(
     if cand.size > cap:
         cand = cand[:cap]
 
-    A_csc = sp.csc_matrix(np.asarray(A, dtype=np.float64))
+    if A_csc is None:
+        A_csc = sp.csc_matrix(np.asarray(A, dtype=np.float64))
     basis = np.array(basis0, dtype=np.int64, copy=True)
     slack_row = {int(basis[i]): i for i in range(M)}
     free_row = np.ones(M, dtype=bool)
@@ -428,12 +430,14 @@ def solve_cold_crossover(
               f"err={float(pstate.err):.2e}", flush=True)
     with profiling.stage("crossover_identify_s"):
         basis, vstat = identify_basis(
-            A, can.lo, can.hi, x, d, np.asarray(can.basis0)
+            A, can.lo, can.hi, x, d, np.asarray(can.basis0),
+            A_csc=can.csc(),
         )
     with profiling.stage("crossover_polish_s"):
         res = hostlp.solve_host_sparse(
             can.A, can.b, can.c, can.lo, can.hi, basis, vstat, opts=opts,
             progress_every=10_000 if progress else 0,
+            A_csc=can.csc(),
         )
     if res is None:
         return None

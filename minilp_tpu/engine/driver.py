@@ -115,7 +115,7 @@ class EngineHandle:
         if can.M >= _SPARSE_HOST_M:
             from . import hostlp
 
-            lu = hostlp.factorize_basis(A, basis)
+            lu = hostlp.factorize_basis(A, basis, A_csc=can.csc())
             Binv = None if lu is None else lu.lu.solve(np.eye(can.M))
         else:
             try:
@@ -170,7 +170,7 @@ class EngineHandle:
             # O(m³) solves — the reference's `src/lu.rs` role at certify time
             from . import hostlp
 
-            lu = hostlp.factorize_basis(A, basis)
+            lu = hostlp.factorize_basis(A, basis, A_csc=can.csc())
             if lu is None:
                 self.certified = False
                 return False
@@ -442,7 +442,7 @@ def _state_from_certified_basis(
     if can.M >= _SPARSE_HOST_M:
         from . import hostlp
 
-        lu = hostlp.factorize_basis(A, basis)
+        lu = hostlp.factorize_basis(A, basis, A_csc=can.csc())
         if lu is None:
             return None
         xB = lu.lu.solve(can.b.astype(np.float64) - A @ xN)
@@ -518,6 +518,7 @@ def _host_polish_from_basis(
     with profiling.stage("host_polish_s"):
         res = hostlp.solve_host_sparse(
             can.A, can.b, can.c, can.lo, can.hi, basis, vstat, opts=opts,
+            A_csc=can.csc() if can.M >= _SPARSE_HOST_M else None,
         )
     if res is not None and int(res.status) in terminal_ok:
         state = _state_from_certified_basis(

@@ -92,11 +92,15 @@ class BasisLU:
         return len(self.etas)
 
 
-def factorize_basis(A: np.ndarray, basis: np.ndarray) -> Optional[BasisLU]:
-    """One sparse LU of A[:, basis] for certify-style solves; None if singular."""
+def factorize_basis(A: np.ndarray, basis: np.ndarray,
+                    A_csc: Optional[sp.csc_matrix] = None) -> Optional[BasisLU]:
+    """One sparse LU of A[:, basis] for certify-style solves; None if
+    singular.  Pass `A_csc` to skip the dense→CSC conversion (the canonical
+    form caches one — CanonicalLP.csc())."""
     try:
-        return BasisLU(sp.csc_matrix(np.asarray(A, dtype=np.float64)),
-                       np.asarray(basis))
+        if A_csc is None:
+            A_csc = sp.csc_matrix(np.asarray(A, dtype=np.float64))
+        return BasisLU(A_csc, np.asarray(basis))
     except (RuntimeError, ValueError):
         return None
 
@@ -120,6 +124,7 @@ def solve_host_sparse(
     opts: SolverOptions,
     max_iter: Optional[int] = None,
     progress_every: int = 0,
+    A_csc: Optional[sp.csc_matrix] = None,
 ) -> Optional[HostResult]:
     """Exact-f64 sparse revised simplex from (basis0, vstat0).
 
@@ -137,7 +142,8 @@ def solve_host_sparse(
     c = np.asarray(c, dtype=np.float64)
     lo = np.asarray(lo, dtype=np.float64)
     hi = np.asarray(hi, dtype=np.float64)
-    A_csc = sp.csc_matrix(A)
+    if A_csc is None:
+        A_csc = sp.csc_matrix(A)
     AT_csr = A_csc.T.tocsr()
 
     basis = np.array(basis0, dtype=np.int64, copy=True)
@@ -508,6 +514,7 @@ def solve_host_dual(
     opts: SolverOptions,
     max_iter: Optional[int] = None,
     progress_every: int = 0,
+    A_csc: Optional[sp.csc_matrix] = None,
 ) -> Optional[HostResult]:
     """Exact-f64 sparse DUAL simplex from a dual-feasible basis.
 
@@ -535,7 +542,8 @@ def solve_host_dual(
     c = np.asarray(c, dtype=np.float64)
     lo = np.asarray(lo, dtype=np.float64)
     hi = np.asarray(hi, dtype=np.float64)
-    A_csc = sp.csc_matrix(A)
+    if A_csc is None:
+        A_csc = sp.csc_matrix(A)
     AT_csr = A_csc.T.tocsr()
 
     basis = np.array(basis0, dtype=np.int64, copy=True)

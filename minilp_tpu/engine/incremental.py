@@ -139,6 +139,7 @@ def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
     terminal = (int(Status.OPTIMAL), int(Status.INFEASIBLE),
                 int(Status.UNBOUNDED))
     with records.timed() as t:
+        csc = can.csc() if can.M >= _driver._SPARSE_HOST_M else None
         res = None
         if prefer_dual:
             res = hostlp.solve_host_dual(
@@ -146,6 +147,7 @@ def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
                 np.asarray(handle._state.basis),
                 np.asarray(handle._state.vstat),
                 opts=opts,
+                A_csc=csc,
                 # a warm repair is a handful of pivots; a run past this cap
                 # is the degenerate-cycling regime (hostlp stall exit) and
                 # the primal loop below handles it in single digits
@@ -159,6 +161,7 @@ def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
                 np.asarray(handle._state.basis),
                 np.asarray(handle._state.vstat),
                 opts=opts,
+                A_csc=csc,
             )
         if res is None or int(res.status) not in terminal:
             return False
@@ -380,6 +383,7 @@ def _append_row(handle, coeffs_structural: np.ndarray, op, rhs: float) -> None:
     i = can.m
     sc = can.slack_col(i)
     can.A[i, : can.nv] = coeffs_structural
+    can._csc_cache = None  # A mutated: invalidate the cached CSC view
     can.b[i] = rhs
     slo, shi = slack_bounds(op)
     can.lo[sc] = slo
@@ -511,7 +515,9 @@ def add_gomory_cut(handle, idx: int):
         # materializing the full dense B⁻¹ for a single row
         from . import hostlp
 
-        lu = hostlp.factorize_basis(can.A.astype(np.float64), basis)
+        lu = hostlp.factorize_basis(
+            can.A.astype(np.float64), basis, A_csc=can.csc()
+        )
         if lu is None:
             handle.ensure_binv()  # identity fallback path
             Binv_row = np.asarray(handle._state.Binv[pos])

@@ -220,3 +220,27 @@ def test_branch_and_bound_with_fix_unfix():
 
     branch(sol, 0)
     assert rel_close(best[0], 16.0)
+
+
+def test_canonical_csc_cache_invalidated_by_row_edits():
+    """CanonicalLP.csc() caches the dense->CSC view for the host sparse-LA
+    seams (one ~1 s conversion at maros scale instead of four per cold
+    solve); the ONE mutation path for A — _append_row — must invalidate it
+    so incremental edits never solve against a stale matrix."""
+    import numpy as np
+
+    from minilp_tpu import ComparisonOp, LinearExpr, Variable
+    from minilp_tpu.utils.synth import netlib_shaped_problem
+
+    prob = netlib_shaped_problem(24, 60, 0.2, seed=3)
+    sol = prob.solve()
+    h = sol._engine
+    csc0 = h.can.csc()
+    assert h.can.csc() is csc0  # cached
+    v = Variable(0)
+    sol2 = sol.add_constraint(LinearExpr([(1.0, v)]), ComparisonOp.Le,
+                              sol[v] + 1.0)
+    csc1 = h.can.csc()
+    assert csc1 is not csc0  # invalidated by the row write
+    np.testing.assert_allclose(csc1.toarray(), h.can.A, rtol=0, atol=0)
+    assert sol2.objective() is not None

@@ -160,8 +160,12 @@ def kkt_error_f64(
     mirror of engine/pdhg.py::_kkt_error (dr = dc = 1), used to monitor a
     DEVICE f32 PDHG stage from the host: the f32 in-graph error is noisy
     near its resolution floor, so every stop/continue decision is taken on
-    this number instead."""
-    A = np.asarray(A, np.float64)
+    this number instead.  `A` may be dense or scipy-sparse — the per-chunk
+    monitor passes the canonical form's cached CSC so each check costs two
+    O(nnz) matvecs instead of two full dense streams (~0.5 s/check saved at
+    maros shape)."""
+    if not sp.issparse(A):
+        A = np.asarray(A, np.float64)
     x = np.asarray(x, np.float64)
     y = np.asarray(y, np.float64)
     scale_b = 1.0 + np.linalg.norm(b)
@@ -210,7 +214,7 @@ def _device_pdhg_stage(can, opts: SolverOptions, tol: float, progress: bool,
     if jax.default_backend() != "tpu":
         return None
     f32 = lambda v: jnp.asarray(np.asarray(v, np.float32))
-    A64 = np.asarray(can.A, np.float64)
+    A64 = can.csc()  # sparse KKT monitor (kkt_error_f64 accepts sparse A)
     b64 = np.asarray(can.b, np.float64)
     c64 = np.asarray(can.c, np.float64)
     lo64 = np.asarray(can.lo, np.float64)

@@ -421,6 +421,7 @@ def _megakernel_eligible(can: CanonicalLP, opts: SolverOptions) -> bool:
 def _state_from_certified_basis(
     can: CanonicalLP, basis: np.ndarray, vstat: np.ndarray, niter: int,
     opts: SolverOptions,
+    lu=None,
 ) -> SimplexState | None:
     """Exact f64 SimplexState rebuilt from a certified (basis, vstat).
 
@@ -442,7 +443,8 @@ def _state_from_certified_basis(
     if can.M >= _SPARSE_HOST_M:
         from . import hostlp
 
-        lu = hostlp.factorize_basis(A, basis, A_csc=can.csc())
+        if lu is None:
+            lu = hostlp.factorize_basis(A, basis, A_csc=can.csc())
         if lu is None:
             return None
         xB = lu.lu.solve(can.b.astype(np.float64) - A @ xN)
@@ -522,7 +524,8 @@ def _host_polish_from_basis(
         )
     if res is not None and int(res.status) in terminal_ok:
         state = _state_from_certified_basis(
-            can, res.basis, res.vstat, niter0 + res.niter, opts
+            can, res.basis, res.vstat, niter0 + res.niter, opts,
+            lu=res.lu,
         )
         if state is not None:
             if int(res.status) != int(Status.OPTIMAL):
@@ -841,7 +844,7 @@ def solve_problem(problem: "api.Problem") -> "api.Solution":
         if res is not None:
             status = int(res.status)
             state = _state_from_certified_basis(
-                can, res.basis, res.vstat, res.niter, opts
+                can, res.basis, res.vstat, res.niter, opts, lu=res.lu,
             )
             if state is not None and status != int(Status.OPTIMAL):
                 state = state._replace(status=jnp.int32(status))

@@ -47,6 +47,10 @@ class HostResult(NamedTuple):
     niter: int
     obj: float          # exact canonical objective at the final state
     bland_iters: int = 0  # pivots taken under the Bland anti-cycling rule
+    #: the final BasisLU (eta-free: terminal claims always follow a fresh
+    #: refactorization) — downstream seams (state rebuild) reuse it instead
+    #: of paying another SuperLU factorization (~1 s at maros shape)
+    lu: Optional["BasisLU"] = None
 
 
 class BasisLU:
@@ -479,6 +483,7 @@ def solve_host_sparse(
         niter=niter,
         obj=float(c @ x),
         bland_iters=bland_iters,
+        lu=lu if (fresh and lu.n_etas == 0) else None,
     )
 
 

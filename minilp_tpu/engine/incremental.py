@@ -167,7 +167,8 @@ def _try_host_resolve(handle, event: str, prefer_dual: bool = False) -> bool:
             return False
         state = (
             _driver._state_from_certified_basis(
-                can, res.basis, res.vstat, res.niter, handle.opts
+                can, res.basis, res.vstat, res.niter, handle.opts,
+                lu=res.lu,
             )
             if int(res.status) == int(Status.OPTIMAL) else None
         )

@@ -460,10 +460,17 @@ def solve_batch_pallas(
             feas_tol=feas_tol, opt_tol=opt_tol, pivot_tol=pivot_tol,
             bland_after=bland_after, interpret=interpret,
         )
-    basis = out[0][:, 0, :]
-    vstat = out[1][:, 0, :]
-    status = out[2][:, 0, 0]
-    niter = out[3][:, 0, 0]
+    # one batched host transfer, then numpy slicing: device-side indexing
+    # would dispatch a compiled slice/squeeze executable per field, and on a
+    # remote-attached backend each first dispatch is a ~0.3-1.2 s remote
+    # compile (cProfile-measured on the streaming path; same pattern here)
+    basis_a, vstat_a, status_a, niter_a = jax.device_get(
+        (out[0], out[1], out[2], out[3])
+    )
+    basis = basis_a[:, 0, :]
+    vstat = vstat_a[:, 0, :]
+    status = status_a[:, 0, 0]
+    niter = niter_a[:, 0, 0]
 
     obj, verified, x = _verify_f64(A, b, c, lo, hi, basis, vstat, status)
     return PallasBatchResult(

@@ -1651,7 +1651,15 @@ def solve_streaming_pallas(
                 b_resident=bool(b_resident),
                 interpret=interpret,
             )
-            total_iter += int(out[3][0, 0])
+            # One batched transfer for the chunk monitor scalars.  Device-side
+            # indexing (`out[i][0, 0]`) would dispatch a compiled slice/squeeze
+            # executable per read — on this remote-attached backend each FIRST
+            # such dispatch is a ~0.3-1.2 s remote compile (cProfile-measured:
+            # 5.7 s of a 28.8 s cold 25fv47 solve went to exactly this).
+            niter_a, st_a, ph_a, inf_a, obj_a = jax.device_get(
+                (out[3], out[2], out[6], out[7], out[8])
+            )
+            total_iter += int(niter_a[0, 0])
             # stage attribution: the first launch carries compile /
             # compile-cache-load / first-DMA-chain overhead; later chunks are
             # steady-state device time (bench.py's maros breakdown)
@@ -1662,10 +1670,10 @@ def solve_streaming_pallas(
             )
             profiling.bump_stage("stream_n_chunks")
             first_launch = False
-            st = int(out[2][0, 0])
-            ph = int(out[6][0, 0])
-            inf_now = float(out[7][0, 0])
-            obj_now = float(out[8][0, 0])
+            st = int(st_a[0, 0])
+            ph = int(ph_a[0, 0])
+            inf_now = float(inf_a[0, 0])
+            obj_now = float(obj_a[0, 0])
             if progress:
                 print(
                     f"[stream chunk] total_iter={total_iter} status={st} "
@@ -1679,11 +1687,12 @@ def solve_streaming_pallas(
                 break
             # relaunch warm from the device-resident state of this chunk
             warm_args = (out[0], out[1], out[5])
-    basis = out[0][0]
-    vstat = out[1][0]
-    status = (jnp.int32(Status.NUMERICAL) if surrender
-              else out[2][0, 0])
-    niter = jnp.int32(total_iter)
+    # host-side slicing of fetched arrays — device-side `out[0][0]` would
+    # dispatch another compiled slice executable per array (see above)
+    basis = np.asarray(out[0])[0]
+    vstat = np.asarray(out[1])[0]
+    status = np.int32(Status.NUMERICAL) if surrender else np.int32(st)
+    niter = np.int32(total_iter)
     t_verify = time.perf_counter()
     obj, verified, x = _verify_f64(
         np.asarray(A, np.float64)[None], np.asarray(b, np.float64)[None],

@@ -189,8 +189,14 @@ def _pdhg_maros_metric(ref_obj: float | None) -> dict | None:
         # sparse-f64 device loop continues warm for the remaining budget.
         f32_iters = 0
         st0 = None
+        # head gets HALF the budget: the f64 sparse tail below must always
+        # get a turn — the halpern head's O(1/k) tail leaves variables ~1/k
+        # off their bounds, so its iterate evaluated at the tighter
+        # feas_tol shows a complementarity cliff (measured: f32 head KKT
+        # 3.5e-5 at tol=1e-5 → 0.167 at 1e-6) until a few exact-f64
+        # iterations snap the actives
         dev = _device_pdhg_stage(can, opts, max(opts.feas_tol, 1e-5),
-                                 False, budget_s=0.7 * budget_s)
+                                 False, budget_s=0.5 * budget_s)
         f32_err = None
         if dev is not None:
             x_d = jnp.asarray(np.asarray(dev[0], np.float64))
@@ -217,13 +223,20 @@ def _pdhg_maros_metric(ref_obj: float | None) -> dict | None:
         # the axon worker — keep each launch far under the watchdog and
         # bound the total wall instead
         chunk = 1000
+        # the first tail chunk runs even if the head overshot the budget —
+        # also when the head returned None (transient link failure), so the
+        # line always reports a measured iterate instead of an error
+        # (sparse f64 is ~20 it/s here, so keep that guaranteed chunk short)
+        first_tail = True
         while True:
             wall = time.perf_counter() - t0
-            if wall > budget_s or done >= opts.pdhg_max_iter:
-                if st is None:  # f32 stage consumed the budget entirely
-                    break
+            if done >= opts.pdhg_max_iter:
                 break
-            cap = min(done + chunk, opts.pdhg_max_iter)
+            if wall > budget_s and not first_tail:
+                break
+            cap = min(done + (256 if first_tail else chunk),
+                      opts.pdhg_max_iter)
+            first_tail = False
             st = solve_pdhg_sparse(Ab, *args, opts=opts, state0=st,
                                    stop_at=jnp.int32(cap))
             np.asarray(st.err)  # force completion (axon quirk)
